@@ -1,0 +1,79 @@
+"""Single-image iris style transfer demo — the ``iris_style_transfer.ipynb``
+equivalent.
+
+End to end: two eye images -> RITnet mask+crop both irises -> NST with
+``c_loss_weight=0, s_loss_weight=1`` -> composite the stylized iris back
+into the content eye.  Saves before/after PNGs.
+
+    python demo/iris_nst_demo.py [--content eye1.png --style eye2.png]
+
+Without image args it uses synthetic eyes so the demo is self-contained.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--content", type=str, default="")
+    p.add_argument("--style", type=str, default="")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--outdir", type=str, default="saved/iris_demo")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from iris_style_transfer_tpu.data import synthetic_eye_batch
+    from iris_style_transfer_tpu.models import RITnet, VGG19
+    from iris_style_transfer_tpu.ops.image import gray_to_rgb
+    from iris_style_transfer_tpu.pipelines import composite_batch, mask_and_crop_iris
+    from iris_style_transfer_tpu.transfer import nst
+
+    os.makedirs(args.outdir, exist_ok=True)
+
+    def load(path, seed):
+        if path:
+            img = Image.open(path).convert("L")
+            return np.asarray(img, np.float32)[..., None] / 255.0
+        return synthetic_eye_batch(1, height=400, width=640, seed=seed)[0][0]
+
+    c_eye = jnp.asarray(load(args.content, 1))[None]
+    s_eye = jnp.asarray(load(args.style, 2))[None]
+
+    ritnet = RITnet.pretrained()
+    vgg = VGG19.init(jax.random.PRNGKey(0))
+
+    c_iris, c_mask, c_bbox = mask_and_crop_iris(c_eye, ritnet)
+    s_iris, _, _ = mask_and_crop_iris(s_eye, ritnet)
+
+    # style-only NST, as the notebook (c_loss_weight=0, s_loss_weight=1)
+    res = nst(c_iris, s_iris, vgg, c_loss_weight=0.0, s_loss_weight=1.0,
+              epochs=args.epochs, history_every=max(args.epochs // 10, 1))
+    new_eye = composite_batch(c_eye, res.x, c_mask, c_bbox)
+
+    def save(name, arr):
+        a = np.asarray(np.clip(np.asarray(arr), 0, 1) * 255, np.uint8)
+        if a.ndim == 3:
+            a = a[..., 0] if a.shape[-1] == 1 else a
+        Image.fromarray(a).save(os.path.join(args.outdir, name))
+
+    save("content_eye.png", c_eye[0])
+    save("style_eye.png", s_eye[0])
+    save("content_iris.png", c_iris[0])
+    save("style_iris.png", s_iris[0])
+    save("stylized_iris.png", res.x[0])
+    save("result_eye.png", new_eye[0])
+    print(f"s_loss {float(res.s_loss_hist[0]):.5g} -> {float(res.s_loss_hist[-1]):.5g}")
+    print("wrote PNGs to", args.outdir)
+
+
+if __name__ == "__main__":
+    main()

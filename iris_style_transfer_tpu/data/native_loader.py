@@ -1,0 +1,91 @@
+"""ctypes bindings for the native C++ decode stage (native/ist_loader.cpp).
+
+Multi-threaded PNG/JPEG -> grayscale float32 decode for the host input
+pipeline.  Falls back to PIL when the shared library hasn't been built
+(``make -C native``).  The reference decodes every frame through PIL in
+Python (``data_preprocessing.py:297,326,403``); this is the framework's
+native-runtime equivalent feeding :mod:`.prefetch`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libistloader.so"),
+    os.path.join(os.path.dirname(__file__), "libistloader.so"),
+]
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    for p in _LIB_PATHS:
+        if os.path.exists(p):
+            lib = ctypes.CDLL(os.path.abspath(p))
+            lib.istl_decode_batch.restype = ctypes.c_int
+            lib.istl_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.istl_decode_gray.restype = ctypes.c_int
+            lib.istl_decode_gray.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            _LIB = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_gray_batch(
+    paths: list[str], height: int, width: int, threads: int = 8
+) -> np.ndarray:
+    """Decode same-sized images to (N, H, W, 1) float32 [0,1].
+
+    Uses the native threaded decoder when built, PIL otherwise.
+    """
+    lib = _load()
+    n = len(paths)
+    if lib is not None:
+        out = np.empty((n, height, width), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        failures = lib.istl_decode_batch(
+            arr,
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            height,
+            width,
+            threads,
+        )
+        if failures:
+            raise IOError(f"native decode: {failures}/{n} files failed or mismatched size")
+        return out[..., None]
+
+    from PIL import Image
+
+    out = np.empty((n, height, width), np.float32)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("L")
+        a = np.asarray(img, np.float32) / 255.0
+        if a.shape != (height, width):
+            raise IOError(f"{p}: size {a.shape} != {(height, width)}")
+        out[i] = a
+    return out[..., None]

@@ -1,0 +1,266 @@
+"""OpenEDS2019 loading and dataset construction.
+
+Reference: ``data_preprocessing.py``
+  * ``load_data_openeds2019`` (``:253-347``): reads 3 splits' image folders
+    + user->image JSON mappings (dataset's own ``'semantic_segmenation_
+    images'`` typo key, ``:308``), skips users with <=2 images
+    (``:309-310``), splits each user's images 80/20, one class per user
+    with ``class_count`` accumulating across splits (``:316``), grayscale
+    float [0,1] decode, optional ``.npy`` seg labels (``:332-336``).
+  * ``OpenEDS2019IRDataset`` (``:15-108``): per image RITnet iris mask x
+    glint mask -> crop -> resize 224^2 -> optional random rotation /
+    perspective — the reference runs this one image at a time with host
+    round trips; :func:`build_ir_dataset` runs it as chunked batched
+    device programs.
+  * ``OpenEDS2019ISTDataset`` (``:110-235``): full seg + pre-NST IoUs +
+    iris mask/bbox + cross-user style donor sampling (``sample_other``
+    rejection sampling, ``:237-251``).
+
+RNG note (SURVEY.md §7.6): split and donor sampling use the host
+``random`` module seeded by ``utils.seed`` — same semantics as the
+reference, not the same streams.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ritnet import RITnet
+from ..ops.image import (
+    crop_and_resize,
+    nonzero_bbox,
+    perspective_warp,
+    random_perspective_params,
+    random_rotation_params,
+    resize_bilinear,
+    rotate,
+)
+from ..ops.metrics import iou_per_class
+from ..pipelines.iris import iris_mask_from_seg
+from .native_loader import decode_gray_batch
+
+MAPPING_KEY = "semantic_segmenation_images"  # dataset's own typo (:308)
+
+
+def load_data_openeds2019(
+    test_split_ratio: float = 0.2,
+    load_seg: bool = False,
+    data_dir: str = "../data/openeds2019",
+    image_paths: list[str] | None = None,
+    json_paths: list[str] | None = None,
+    seg_paths: list[str] | None = None,
+):
+    """Returns (train_x, train_y, train_m, test_x, test_y, test_m,
+    class_count); images are (H, W, 1) float32 [0,1] numpy arrays."""
+    from PIL import Image
+
+    if image_paths is None:
+        base = os.path.join(data_dir, "Semantic_Segmentation_Dataset")
+        image_paths = [os.path.join(base, s, "images") for s in ("train", "validation", "test")]
+        seg_paths = [os.path.join(base, s, "labels") for s in ("train", "validation", "test")]
+        json_paths = [
+            os.path.join(data_dir, f"OpenEDS_{s}_userID_mapping_to_images.json")
+            for s in ("train", "validation", "test")
+        ]
+
+    train_x, train_y, train_m = [], [], []
+    test_x, test_y, test_m = [], [], []
+    class_count = 0
+
+    for i_folder, j_path, m_folder in zip(image_paths, json_paths, seg_paths):
+        with open(j_path) as fh:
+            mappings = json.load(fh)
+
+        img_class, img_train = {}, {}
+        for m in mappings:
+            imgs = m[MAPPING_KEY]
+            if len(imgs) <= 2:  # skip users with too few samples (:309)
+                continue
+            n_test = int(round(len(imgs) * test_split_ratio))
+            test_idx = set(random.sample(range(len(imgs)), n_test))
+            for i, name in enumerate(imgs):
+                img_class[name] = class_count
+                img_train[name] = i not in test_idx
+            class_count += 1
+
+        names = [p for p in os.listdir(i_folder) if p in img_class]
+        paths = [os.path.join(i_folder, p) for p in names]
+        if not names:
+            continue
+        # probe dimensions once, then bulk-decode through the native
+        # threaded loader (PIL fallback inside)
+        h, w = np.asarray(Image.open(paths[0]).convert("L")).shape
+        arrs = decode_gray_batch(paths, h, w)
+        for i_path, arr in zip(names, arrs):
+            if load_seg:
+                seg = np.load(os.path.join(m_folder, i_path[:-4] + ".npy"))
+            else:
+                seg = None
+            if img_train[i_path]:
+                train_x.append(arr); train_y.append(img_class[i_path]); train_m.append(seg)
+            else:
+                test_x.append(arr); test_y.append(img_class[i_path]); test_m.append(seg)
+
+    return train_x, train_y, train_m, test_x, test_y, test_m, class_count
+
+
+def sample_other(label: int, labels: list[int]) -> int:
+    """Rejection-sample an index of another class (``:237-251``)."""
+    idx = random.randrange(len(labels))
+    while labels[idx] == label:
+        idx = random.randrange(len(labels))
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# device-side dataset builders (chunked batched replacements for the
+# reference's eager per-image GPU preprocessing at Dataset construction)
+# ---------------------------------------------------------------------------
+
+
+def _augment_one(img, key, rotation_prob, rotation_degree, perspect_prob, perspect_degree):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h, w, _ = img.shape
+
+    def do_rot(im):
+        ang = random_rotation_params(k2, rotation_degree)
+        return rotate(im, ang, mode="nearest")
+
+    img = jax.lax.cond(
+        jax.random.uniform(k1) < rotation_prob, do_rot, lambda im: im, img
+    )
+
+    def do_persp(im):
+        sp, ep = random_perspective_params(k4, h, w, perspect_degree)
+        return perspective_warp(im, sp, ep, mode="bilinear")
+
+    img = jax.lax.cond(
+        jax.random.uniform(k3) < perspect_prob, do_persp, lambda im: im, img
+    )
+    return img
+
+
+def build_ir_dataset(
+    xs: list[np.ndarray],
+    ys: list[int],
+    ritnet_params: dict,
+    key: jax.Array,
+    rotation_prob: float = 0.0,
+    rotation_degree: float = 180.0,
+    perspect_prob: float = 0.0,
+    perspect_degree: float = 0.3,
+    glint_threshold: float = 0.8,
+    out_size: tuple[int, int] = (224, 224),
+    chunk: int = 8,  # RITnet at 400x640 holds ~50MB of activations per image
+) -> tuple[np.ndarray, np.ndarray]:
+    """IRDataset equivalent (``data_preprocessing.py:15-108``): per image,
+    iris mask x glint mask -> crop -> resize 224^2 -> augment; batched on
+    device in chunks.  Returns (N, 224, 224, 1) float32 + (N,) int32."""
+    assert len(xs) == len(ys)
+
+    @jax.jit
+    def process(batch, keys):
+        seg = RITnet.apply(ritnet_params, batch)
+        masks = iris_mask_from_seg(seg, batch, glint_threshold)
+        masked = batch * masks.astype(batch.dtype)
+        bboxes = jax.vmap(lambda m: nonzero_bbox(m[..., 0]))(masked)
+        crops = jax.vmap(lambda im, bb: crop_and_resize(im, bb, out_size))(masked, bboxes)
+        if rotation_prob > 0 or perspect_prob > 0:
+            crops = jax.vmap(
+                lambda im, k: _augment_one(
+                    im, k, rotation_prob, rotation_degree, perspect_prob, perspect_degree
+                )
+            )(crops, keys)
+        return crops
+
+    out = []
+    n = len(xs)
+    for i in range(0, n, chunk):
+        batch_list = xs[i : i + chunk]
+        pad = chunk - len(batch_list)
+        batch = np.stack(batch_list + [batch_list[-1]] * pad)
+        keys = jax.random.split(jax.random.fold_in(key, i), chunk)
+        crops = np.asarray(process(jnp.asarray(batch), keys))
+        out.append(crops[: len(batch_list)])
+    return np.concatenate(out), np.asarray(ys, np.int32)
+
+
+@dataclass
+class ISTDataset:
+    """ISTDataset equivalent (``data_preprocessing.py:110-235``); arrays
+    over the whole split, indexable by batch slices."""
+
+    c_imgs: np.ndarray  # (N, H, W, 1)
+    c_labels: np.ndarray  # (N,)
+    c_masks_iris: np.ndarray  # (N, H, W, 1) bool
+    c_iris_bbs: np.ndarray  # (N, 4)
+    c_masks_gt: np.ndarray  # (N, H, W)
+    s_irises: np.ndarray  # (N, 224, 224, 1)
+    s_labels: np.ndarray  # (N,)
+    ious: np.ndarray  # (4, N) pre-NST per-class IoUs
+    mious: np.ndarray  # (N,)
+
+    def __len__(self):
+        return len(self.c_labels)
+
+
+def build_ist_dataset(
+    c_imgs: list[np.ndarray],
+    c_labels: list[int],
+    c_masks_gt: list[np.ndarray],
+    ritnet_params: dict,
+    glint_threshold: float = 0.8,
+    out_size: tuple[int, int] = (224, 224),
+    chunk: int = 8,  # see build_ir_dataset
+) -> ISTDataset:
+    """Per content image: RITnet seg, pre-NST IoUs vs GT, iris mask + bbox;
+    cross-user style donor sampling + donor iris crop (``:160-199``)."""
+    n = len(c_imgs)
+    assert n == len(c_labels) == len(c_masks_gt)
+
+    @jax.jit
+    def process(batch, seg_gt):
+        seg = RITnet.apply(ritnet_params, batch)
+        ious, miou = iou_per_class(seg, seg_gt)
+        masks = iris_mask_from_seg(seg, batch, glint_threshold)
+        masked = batch * masks.astype(batch.dtype)
+        bboxes = jax.vmap(lambda m: nonzero_bbox(m[..., 0]))(masked)
+        crops = jax.vmap(lambda im, bb: crop_and_resize(im, bb, out_size))(masked, bboxes)
+        return ious, miou, masks, bboxes, crops
+
+    all_masks, all_bbs, all_crops = [], [], []
+    all_ious, all_mious = [], []
+    for i in range(0, n, chunk):
+        batch_list = c_imgs[i : i + chunk]
+        gt_list = c_masks_gt[i : i + chunk]
+        pad = chunk - len(batch_list)
+        batch = np.stack(batch_list + [batch_list[-1]] * pad)
+        gts = np.stack(gt_list + [gt_list[-1]] * pad)
+        ious, miou, masks, bbs, crops = map(
+            np.asarray, process(jnp.asarray(batch), jnp.asarray(gts))
+        )
+        k = len(batch_list)
+        all_ious.append(ious[:, :k]); all_mious.append(miou[:k])
+        all_masks.append(masks[:k]); all_bbs.append(bbs[:k]); all_crops.append(crops[:k])
+
+    crops = np.concatenate(all_crops)
+    # style donor: another user's masked iris crop (already computed above)
+    s_idx = np.asarray([sample_other(l, c_labels) for l in c_labels])
+    return ISTDataset(
+        c_imgs=np.stack(c_imgs),
+        c_labels=np.asarray(c_labels, np.int32),
+        c_masks_iris=np.concatenate(all_masks),
+        c_iris_bbs=np.concatenate(all_bbs),
+        c_masks_gt=np.stack(c_masks_gt),
+        s_irises=crops[s_idx],
+        s_labels=np.asarray(c_labels, np.int32)[s_idx],
+        ious=np.concatenate(all_ious, axis=1),
+        mious=np.concatenate(all_mious),
+    )

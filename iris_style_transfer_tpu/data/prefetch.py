@@ -1,0 +1,77 @@
+"""Host->device input pipeline: shuffled batching with background prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=16, pin_memory=True)``
+(``gaze_estimation.py:27,142-143``) with a thread that stages the next
+batches on device (optionally sharded over a mesh) while the current step
+runs — keeping the TPU fed without framework workers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding
+
+
+def batch_iterator(
+    arrays: Sequence[np.ndarray],
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int | None = None,
+    drop_remainder: bool = False,
+    pad_final: bool = True,
+) -> Iterator[tuple[np.ndarray, ...]]:
+    """Yield aligned batch tuples from same-length arrays.  When the final
+    batch is short it is either dropped, padded by repeating the last row
+    (with an extra boolean validity column appended as the last tuple
+    element), or yielded short (``pad_final=False``)."""
+    n = len(arrays[0])
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(seed)
+        rng.shuffle(idx)
+    for i in range(0, n, batch_size):
+        take = idx[i : i + batch_size]
+        if len(take) < batch_size:
+            if drop_remainder:
+                return
+            if pad_final:
+                valid = np.zeros(batch_size, bool)
+                valid[: len(take)] = True
+                take = np.concatenate([take, np.full(batch_size - len(take), take[-1])])
+                yield tuple(a[take] for a in arrays) + (valid,)
+                continue
+        yield tuple(a[take] for a in arrays)
+
+
+def prefetch_to_device(iterator, size: int = 2, mesh=None):
+    """Wrap a host batch iterator with background device staging.  With a
+    mesh, arrays are placed batch-sharded over the ``data`` axis."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(batch):
+        if mesh is not None:
+            return tuple(
+                jax.device_put(a, batch_sharding(mesh, np.ndim(a))) for a in batch
+            )
+        return tuple(jax.device_put(a) for a in batch)
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -1,0 +1,185 @@
+"""Functional NN primitives (NHWC / HWIO — TPU-native layouts).
+
+Matmuls and convolutions carry ``preferred_element_type=float32`` so
+bfloat16 params/activations accumulate at full precision on the MXU.
+Initializers reproduce torch defaults (kaiming-uniform with a=sqrt(5)) so
+randomly-initialized models are distribution-compatible with the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch nn.Conv2d / nn.Linear defaults)
+# ---------------------------------------------------------------------------
+
+
+def init_conv(key, kh, kw, cin, cout, dtype=jnp.float32) -> Params:
+    fan_in = kh * kw * cin
+    bound_w = math.sqrt(1.0 / fan_in)  # kaiming_uniform(a=sqrt(5))
+    kw_, kb_ = jax.random.split(key)
+    w = jax.random.uniform(kw_, (kh, kw, cin, cout), dtype, -bound_w, bound_w)
+    b = jax.random.uniform(kb_, (cout,), dtype, -bound_w, bound_w)
+    return {"w": w, "b": b}
+
+
+def init_linear(key, din, dout, dtype=jnp.float32) -> Params:
+    bound = math.sqrt(1.0 / din)
+    kw_, kb_ = jax.random.split(key)
+    w = jax.random.uniform(kw_, (din, dout), dtype, -bound, bound)
+    b = jax.random.uniform(kb_, (dout,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_batchnorm(c, dtype=jnp.float32) -> Params:
+    return {
+        "scale": jnp.ones((c,), dtype),
+        "bias": jnp.zeros((c,), dtype),
+        "mean": jnp.zeros((c,), dtype),
+        "var": jnp.ones((c,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ops
+# ---------------------------------------------------------------------------
+
+
+def conv2d(
+    x: jax.Array,
+    p: Params,
+    stride: int | tuple[int, int] = 1,
+    padding: str | int | tuple = "SAME",
+    groups: int = 1,
+) -> jax.Array:
+    """2-D conv, NHWC x HWIO -> NHWC, f32 accumulation."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    # no preferred_element_type: bf16 convs accumulate in f32 on the MXU
+    # natively, and mixed-dtype outputs break the conv VJP
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return out + p["b"].astype(out.dtype)
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    out = jnp.dot(x, p["w"].astype(x.dtype))
+    return out + p["b"].astype(out.dtype)
+
+
+def batchnorm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    """Inference-mode batchnorm over the channel-last axis."""
+    x32 = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    out = (x32 - p["mean"].astype(jnp.float32)) * inv * p["scale"].astype(
+        jnp.float32
+    ) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def batchnorm_train(
+    x: jax.Array, p: Params, momentum: float = 0.1, eps: float = 1e-5
+) -> tuple[jax.Array, Params]:
+    """Training-mode batchnorm: normalize by batch stats, return updated
+    running stats (torch momentum convention)."""
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x32, axis=axes)
+    var = jnp.var(x32, axis=axes)
+    n = x32.size // x32.shape[-1]
+    unbiased = var * n / max(n - 1, 1)
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x32 - mean) * inv * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    new_p = dict(p)
+    new_p["mean"] = (1 - momentum) * p["mean"] + momentum * mean
+    new_p["var"] = (1 - momentum) * p["var"] + momentum * unbiased
+    return out.astype(x.dtype), new_p
+
+
+def max_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
+    stride = stride or window
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+
+
+def avg_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
+    stride = stride or window
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+    return (summed / (window * window)).astype(x.dtype)
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """AdaptiveAvgPool2d for NHWC; matches torch's bin edges
+    (start = floor(i*H/oh), end = ceil((i+1)*H/oh))."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if h % oh == 0 and w % ow == 0:
+        return avg_pool(x, window=h // oh, stride=h // oh) if (h // oh) == (w // ow) else _adaptive_general(x, oh, ow)
+    return _adaptive_general(x, oh, ow)
+
+
+def _adaptive_general(x: jax.Array, oh: int, ow: int) -> jax.Array:
+    b, h, w, c = x.shape
+    x32 = x.astype(jnp.float32)
+    # row pooling matrix (oh, h) and col pooling matrix (ow, w)
+    def pool_mat(out_n, in_n):
+        idx = jnp.arange(in_n)
+        starts = (jnp.arange(out_n) * in_n) // out_n
+        ends = -((-(jnp.arange(out_n) + 1) * in_n) // out_n)  # ceil
+        m = (idx[None, :] >= starts[:, None]) & (idx[None, :] < ends[:, None])
+        m = m.astype(jnp.float32)
+        return m / jnp.sum(m, axis=1, keepdims=True)
+
+    rm = pool_mat(oh, h)  # (oh, h)
+    cm = pool_mat(ow, w)  # (ow, w)
+    out = jnp.einsum("oh,bhwc->bowc", rm, x32)
+    out = jnp.einsum("pw,bowc->bopc", cm, out)
+    return out.astype(x.dtype)
+
+
+def upsample_nearest(x: jax.Array, scale: int = 2) -> jax.Array:
+    """Nearest-neighbor x2 upsample (reference up-blocks, ``ritnet.py:151``)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def dropout(x: jax.Array, rate: float, key: jax.Array | None, train: bool) -> jax.Array:
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -1,0 +1,182 @@
+"""VGG19 feature extractor — pure functional, with layer taps.
+
+Reference: ``models/vgg/vgg.py`` — torchvision vgg19 ``features`` stack with
+the classifier head dropped (``:43-48``), frozen/eval (``:51-53``), ImageNet
+normalization applied *inside* the forward (``:63-67,81``), optional mask
+multiply (``:84-85``), and taps capturing activations at content layers
+(default ``['relu4_2']``) and style layers (default ``['relu1_1','relu2_1',
+'relu3_1','relu4_1']``) (``:25-26,56-60``).  Forward returns
+``(final_feats, content_feats, style_feats)`` (``:87-92``).
+
+TPU-first: NHWC activations, HWIO kernels, bfloat16 compute with f32
+accumulation (MXU), single trace — the tap mechanism is just returning
+intermediates from a pure function instead of module state.
+
+Pretrained weights: torchvision's IMAGENET1K_V1 state dict can be ported
+via :mod:`iris_style_transfer_tpu.models.port` (zero-egress environments
+fall back to the deterministic seeded init below; quality parity then
+requires supplying ported weights).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.image import imagenet_normalize
+from . import layers as L
+
+# conv structure of vgg19 `features` (without BN): channels per conv, with
+# 'M' = maxpool; mirrors torchvision cfg "E" / reference layer table
+# (models/vgg/vgg.py:6-10).
+_CFG = [
+    64, 64, "M",
+    128, 128, "M",
+    256, 256, 256, 256, "M",
+    512, 512, 512, 512, "M",
+    512, 512, 512, 512, "M",
+]
+
+# layer-name -> sequential index table, identical to vgg19_layers
+# (models/vgg/vgg.py:6-10)
+VGG19_LAYERS: dict[str, int] = {}
+
+
+def _build_layer_table():
+    idx = 0
+    block, conv_in_block = 1, 1
+    for c in _CFG:
+        if c == "M":
+            VGG19_LAYERS[f"pool{block}"] = idx
+            idx += 1
+            block += 1
+            conv_in_block = 1
+        else:
+            VGG19_LAYERS[f"conv{block}_{conv_in_block}"] = idx
+            idx += 1
+            VGG19_LAYERS[f"relu{block}_{conv_in_block}"] = idx
+            idx += 1
+            conv_in_block += 1
+
+
+_build_layer_table()
+
+# conv name list in order, used for param naming and torch porting
+CONV_NAMES = [n for n in VGG19_LAYERS if n.startswith("conv")]
+
+DEFAULT_CONTENT_LAYERS = ("relu4_2",)
+DEFAULT_STYLE_LAYERS = ("relu1_1", "relu2_1", "relu3_1", "relu4_1")
+
+
+class VGG19:
+    """Functional VGG19 shell: ``params = VGG19.init(key)``,
+    ``final, content, style = VGG19.apply(params, x, ...)``."""
+
+    layers = VGG19_LAYERS
+    conv_names = CONV_NAMES
+
+    def __init__(
+        self,
+        content_layers: Sequence[str] = DEFAULT_CONTENT_LAYERS,
+        style_layers: Sequence[str] = DEFAULT_STYLE_LAYERS,
+        compute_dtype=jnp.float32,
+    ):
+        self.content_layers = tuple(content_layers)
+        self.style_layers = tuple(style_layers)
+        self.compute_dtype = compute_dtype
+
+    @staticmethod
+    def init(key: jax.Array, dtype=jnp.float32) -> dict:
+        """Deterministic seeded init (torch conv defaults); used when
+        pretrained torchvision weights are unavailable (zero egress)."""
+        params = {}
+        cin = 3
+        keys = jax.random.split(key, len(CONV_NAMES))
+        for k, name in zip(keys, CONV_NAMES):
+            block = int(name[4])
+            cout = _CFG_CHANNELS[name]
+            params[name] = L.init_conv(k, 3, 3, cin, cout, dtype)
+            cin = cout
+        return params
+
+    def __call__(self, params: dict, x: jax.Array, mask: jax.Array | None = None):
+        return self.apply(
+            params,
+            x,
+            mask=mask,
+            content_layers=self.content_layers,
+            style_layers=self.style_layers,
+            compute_dtype=self.compute_dtype,
+        )
+
+    @staticmethod
+    def apply(
+        params: dict,
+        x: jax.Array,
+        mask: jax.Array | None = None,
+        content_layers: Sequence[str] = DEFAULT_CONTENT_LAYERS,
+        style_layers: Sequence[str] = DEFAULT_STYLE_LAYERS,
+        compute_dtype=jnp.float32,
+        truncate: bool = False,
+    ):
+        """x: (B, H, W, 3) in [0,1].  Returns (final, content_feats,
+        style_feats); taps are the post-ReLU activations, f32.
+
+        ``truncate=True`` stops after the deepest requested tap (the NST
+        loop never needs the final features — saves ~30% of the FLOPs;
+        ``final`` is then the last computed activation).
+        """
+        taps_wanted = set(content_layers) | set(style_layers)
+        stop_idx = max(VGG19_LAYERS[n] for n in taps_wanted) if truncate else None
+        # normalization inside the model, as the reference (vgg.py:81)
+        h = imagenet_normalize(x.astype(jnp.float32))
+        if mask is not None:
+            h = h * mask.astype(h.dtype)
+        h = h.astype(compute_dtype)
+
+        taps: dict[str, jax.Array] = {}
+        block, conv_in_block, idx = 1, 1, 0
+        for c in _CFG:
+            if stop_idx is not None and idx > stop_idx:
+                break
+            if c == "M":
+                h = L.max_pool(h, 2, 2)
+                idx += 1
+                block += 1
+                conv_in_block = 1
+            else:
+                cname = f"conv{block}_{conv_in_block}"
+                rname = f"relu{block}_{conv_in_block}"
+                h = L.conv2d(h, params[cname], stride=1, padding=1)
+                if cname in taps_wanted:
+                    taps[cname] = h.astype(jnp.float32)
+                idx += 1
+                h = jax.nn.relu(h)
+                if rname in taps_wanted:
+                    taps[rname] = h.astype(jnp.float32)
+                idx += 1
+                conv_in_block += 1
+
+        final = h.astype(jnp.float32)
+        content = [taps[n] for n in content_layers]
+        style = [taps[n] for n in style_layers]
+        return final, content, style
+
+
+_CFG_CHANNELS = {}
+
+
+def _build_cfg_channels():
+    block, conv_in_block = 1, 1
+    for c in _CFG:
+        if c == "M":
+            block += 1
+            conv_in_block = 1
+        else:
+            _CFG_CHANNELS[f"conv{block}_{conv_in_block}"] = c
+            conv_in_block += 1
+
+
+_build_cfg_channels()

@@ -1,0 +1,86 @@
+"""NST loss functions with the reference's exact numerical conventions.
+
+Reference: ``utils.py:259-355``
+  * ContentLoss_L2  — ``0.5 * sum_i w_i * mse(p_i, t_i)``  (mse = mean)
+  * StyleLoss_Gram  — ``0.25 * sum_i w_i * sum((G(p_i) - G(t_i))**2)``
+  * StyleLoss_BN    — ``sum_i w_i * sum((mu_p-mu_t)^2 + (sd_p-sd_t)^2)/C_i``
+                      with per-channel spatial mean and *Bessel-corrected*
+                      std (``torch.std`` default, ``utils.py:337-338,353``).
+
+Targets are precomputed once (as in ``pipelines.py:62-68``): Gram matrices
+for the Gram loss, (mean, std) pairs for the BN loss.  All reductions
+accumulate in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .gram import gram_matrix
+
+
+def _weights(weights: Sequence[float] | None, n: int) -> Sequence[float]:
+    return [1.0] * n if weights is None else list(weights)
+
+
+def content_loss_l2(
+    preds: Sequence[jax.Array],
+    targets: Sequence[jax.Array],
+    weights: Sequence[float] | None = None,
+) -> jax.Array:
+    """0.5 * sum_i w_i * mean((p_i - t_i)^2); reference ``utils.py:276-290``."""
+    ws = _weights(weights, len(targets))
+    loss = jnp.float32(0.0)
+    for p, t, w in zip(preds, targets, ws):
+        d = p.astype(jnp.float32) - t.astype(jnp.float32)
+        loss = loss + jnp.mean(d * d) * w
+    return loss * 0.5
+
+
+def style_loss_gram(
+    preds: Sequence[jax.Array],
+    target_grams: Sequence[jax.Array],
+    weights: Sequence[float] | None = None,
+) -> jax.Array:
+    """0.25 * sum_i w_i * sum((G(p_i) - G_t_i)^2); reference
+    ``utils.py:308-322``.  ``target_grams`` are precomputed via
+    :func:`gram_matrix` (batched convention)."""
+    ws = _weights(weights, len(target_grams))
+    loss = jnp.float32(0.0)
+    for p, gt, w in zip(preds, target_grams, ws):
+        g = gram_matrix(p).astype(jnp.float32)
+        d = g - gt.astype(jnp.float32)
+        loss = loss + jnp.sum(d * d) * w
+    return loss * 0.25
+
+
+def style_stats(feat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-channel spatial (mean, std) of (B, H, W, C) features -> (B, C).
+
+    std is Bessel-corrected (ddof=1) to match ``torch.std``
+    (``utils.py:337-338``); computed in float32.
+    """
+    f = feat.astype(jnp.float32)
+    mean = jnp.mean(f, axis=(-3, -2))
+    var = jnp.var(f, axis=(-3, -2), ddof=1)
+    return mean, jnp.sqrt(var)
+
+
+def style_loss_bn(
+    preds: Sequence[jax.Array],
+    target_stats: Sequence[tuple[jax.Array, jax.Array]],
+    weights: Sequence[float] | None = None,
+) -> jax.Array:
+    """sum_i w_i * sum_{b,c}((mu_p-mu_t)^2 + (sd_p-sd_t)^2) / C_i;
+    reference ``utils.py:341-355``."""
+    ws = _weights(weights, len(target_stats))
+    loss = jnp.float32(0.0)
+    for p, (t_mean, t_std), w in zip(preds, target_stats, ws):
+        p_mean, p_std = style_stats(p)
+        c = p_mean.shape[-1]
+        term = jnp.sum((p_mean - t_mean) ** 2 + (p_std - t_std) ** 2)
+        loss = loss + term * (w / c)
+    return loss

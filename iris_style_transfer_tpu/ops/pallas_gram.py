@@ -1,0 +1,82 @@
+"""Blockwise Gram accumulation as a Pallas TPU kernel.
+
+Motivation (SURVEY.md §5.7): at the 512px north-star resolution the relu1_1
+style features are (B, 512, 512, 64) — the Gram contraction reads ~64MB of
+activations per image to produce a 64x64 matrix.  XLA emits one large dot;
+this kernel streams HW tiles HBM->VMEM and accumulates the (C, C) product
+in a VMEM scratch accumulator, so the contraction is one pass over memory
+with MXU-f32 accumulation and no intermediate materialization — the image
+domain's stand-in for blockwise/ring attention.
+
+Used automatically by the NST engine for large spatial extents on TPU;
+``gram_matrix`` remains the XLA reference implementation (the two are
+tested against each other).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gram_kernel(x_ref, o_ref, acc_ref, *, n_norm: float):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]  # (TILE_HW, C)
+    acc_ref[:] += jax.lax.dot_general(
+        x,
+        x,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = acc_ref[:] * (1.0 / n_norm)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_hw", "batched_norm", "interpret"))
+def gram_matrix_pallas(
+    x: jax.Array,
+    tile_hw: int = 2048,
+    batched_norm: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Gram of (B, H, W, C) -> (B, C, C), f32; same convention as
+    :func:`iris_style_transfer_tpu.ops.gram.gram_matrix`."""
+    b, h, w, c = x.shape
+    hw = h * w
+    tile = min(tile_hw, hw)
+    if hw % tile:
+        # fall back to XLA for ragged spatial extents
+        from .gram import gram_matrix
+
+        return gram_matrix(x, batched_norm)
+    flat = x.reshape(b, hw, c)
+    n_norm = float(c * hw if batched_norm else hw)
+
+    out = pl.pallas_call(
+        functools.partial(_gram_kernel, n_norm=n_norm),
+        grid=(b, hw // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hw * c * c,
+            bytes_accessed=b * hw * c * x.dtype.itemsize + b * c * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(flat)
+    return out

@@ -1,0 +1,11 @@
+"""Mesh construction, shardings and collectives."""
+
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_params,
+    mlp_tp_spec,
+    pmean_metrics,
+)

@@ -1,0 +1,88 @@
+"""Device mesh and sharding helpers.
+
+The reference has no distributed code at all (SURVEY.md §2.3, §5.8 — a
+single ``args.device`` everywhere despite a 4xA100 host).  Here
+multi-chip is first-class and TPU-native:
+
+  * a 2-D mesh ``(data, model)`` over ICI (e.g. v5e-8 as 8x1 pure-DP or
+    4x2 DP x TP),
+  * batch-axis ``NamedSharding`` for NST batches, eval pipelines and
+    training steps (the dominant strategy — all workloads are
+    batch-parallel),
+  * tensor-parallel column/row sharding for the classifier MLP heads
+    (25088x4096 / 4096x4096 matmuls, the only parameter blocks worth
+    sharding),
+  * metric reductions ride XLA collectives (``psum``/``pmean`` inserted by
+    the partitioner) instead of the reference's per-batch host gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a ``(data, model)`` mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis over ``data``; replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Device-put every array in a pytree with its batch axis sharded."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, batch_sharding(mesh, jnp.ndim(a))), tree
+    )
+
+
+def mlp_tp_spec(params: dict) -> dict:
+    """Tensor-parallel spec for a 3-layer MLP head ({'fc0','fc1','fc2'}):
+    fc0 column-parallel, fc1 row-parallel (Megatron pattern — one
+    all-reduce per forward), fc2 replicated."""
+    return {
+        "fc0": {"w": P(None, "model"), "b": P("model")},
+        "fc1": {"w": P("model", None), "b": P()},
+        "fc2": {"w": P(), "b": P()},
+    }
+
+
+def shard_params(mesh: Mesh, params: Any, spec: Any = None) -> Any:
+    """Place params on the mesh.  ``spec`` is a matching pytree of
+    PartitionSpecs (missing/None -> replicated)."""
+    if spec is None:
+        return jax.tree.map(lambda a: jax.device_put(a, replicated(mesh)), params)
+
+    def place(a, s):
+        return jax.device_put(a, NamedSharding(mesh, s if s is not None else P()))
+
+    return jax.tree.map(place, params, spec)
+
+
+def pmean_metrics(metrics: dict, axis_name: str = "data") -> dict:
+    """Mean-reduce a metrics dict across the data axis (for shard_map
+    bodies; under plain pjit XLA inserts the collectives itself)."""
+    return jax.tree.map(lambda v: jax.lax.pmean(v, axis_name), metrics)

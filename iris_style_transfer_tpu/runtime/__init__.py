@@ -1,0 +1,6 @@
+"""Runtime: config, logging, checkpointing, profiling, benchmarking."""
+
+from .config import WorkloadConfig, add_common_args
+from .logging import MetricLogger
+from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .profiler import StepTimer, trace

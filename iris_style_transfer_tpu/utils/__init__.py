@@ -1,0 +1,6 @@
+"""General utilities: seeding, directories, notebook plotting.
+
+Reference: ``utils.py:19-42,112-161``.
+"""
+
+from .misc import seed, prepare_dir, plot_help

@@ -1,0 +1,166 @@
+"""Train gaze estimators (OpenEDS2020).
+
+Reference: ``gaze_estimation.py`` — GazeEstimator1 (on precomputed
+landmarks) or GazeEstimator2 (ResNet features, ResNet unfrozen,
+``:56-59``), Adam + CosineEmbeddingLoss target 1 (``:62-63,77``), an
+in-process lr sweep [1e-6, 1e-5, 1e-4] (``:11,44-49``), per-epoch
+train/valid(/test) angular-distance metrics, periodic checkpoints.
+
+Note: the reference constructs its test loader from ``valid_d``
+(``:40``, a latent copy-paste bug) — fixed here to use the test split, as
+SURVEY.md §2.1 directs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import batch_iterator, prefetch_to_device, synthetic_eye_batch
+from ..data.openeds2020 import load_data_openeds2020
+from ..models import EfficientNet, GazeEstimator1, GazeEstimator2
+from ..ops.ellipse import extract_eye_landmarks
+from ..ops.metrics import angular_distance, cosine_embedding_loss
+from ..parallel import make_mesh
+from ..runtime import MetricLogger, StepTimer, save_checkpoint
+from ..runtime.config import WorkloadConfig, add_common_args, parse_config
+from ..utils import seed as seed_all
+
+
+def _synthetic_gaze(n, estimator, seed=0):
+    """Synthetic (features, gaze) pairs shaped like the 2020 loader output."""
+    rng = np.random.default_rng(seed)
+    imgs, segs, _ = synthetic_eye_batch(n, seed=seed)
+    if estimator == 1:
+        feats = np.asarray(jax.vmap(extract_eye_landmarks)(jnp.asarray(segs)))
+    else:
+        feats = imgs
+    gaze = rng.normal(size=(n, 3)).astype(np.float32)
+    gaze /= np.linalg.norm(gaze, axis=1, keepdims=True)
+    return feats, gaze
+
+
+def make_steps(estimator: int, optimizer):
+    extract = estimator == 2  # estimator2 owns a trainable ResNet (:59)
+
+    def loss_fn(params, x, y, key):
+        if estimator == 1:
+            o = GazeEstimator1.apply(params, x, train=True, dropout_key=key)
+        else:
+            o = GazeEstimator2.apply(params, x, extract_feature=extract, train=True, dropout_key=key)
+        return cosine_embedding_loss(o, y), o
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, x, y, key):
+        (loss, o), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, o
+
+    @jax.jit
+    def eval_step(params, x):
+        if estimator == 1:
+            return GazeEstimator1.apply(params, x)
+        return GazeEstimator2.apply(params, x, extract_feature=extract)
+
+    return train_step, eval_step
+
+
+def _epoch_metrics(preds, labels, prefix, log):
+    preds = jnp.asarray(np.concatenate(preds))
+    labels = jnp.asarray(np.concatenate(labels))
+    log[f"{prefix}/loss"] = float(cosine_embedding_loss(preds, labels))
+    rad, deg = angular_distance(preds, labels)
+    log[f"{prefix}/radian_distance"] = float(rad.mean())
+    log[f"{prefix}/degree_distance"] = float(deg.mean())
+
+
+def gaze_estimation(cfg: WorkloadConfig, lrs=(1e-6, 1e-5, 1e-4)) -> dict:
+    seed_all(cfg.seed)
+    base = os.path.join(cfg.data_dir, "openeds2020", "openEDS2020-GazePrediction")
+    use_real = os.path.isdir(base)
+
+    def load(postfix):
+        if use_real:
+            extract = cfg.estimator == 1
+            eff = EfficientNet.init(jax.random.PRNGKey(0)) if extract else None
+            return load_data_openeds2020(
+                extract_feature=extract, estimator=cfg.estimator,
+                data_path=base + "/", postfix=postfix, efficientnet_params=eff,
+            )
+        return _synthetic_gaze(96 if "train" in postfix else 32, cfg.estimator, seed=cfg.seed)
+
+    print("loading training set...")
+    train = load("train/")
+    print("loading validation set...")
+    valid = load("validation/")
+    test = load("test/") if cfg.test else None
+
+    mesh = make_mesh(model_parallel=1)
+    final = {}
+    for lr in lrs:
+        key = seed_all(cfg.seed)
+        k_init, k_train = jax.random.split(key)
+        name = f"seed {cfg.seed} " + ("model-based" if cfg.estimator == 1 else "appearance-based") + f" lr {lr}"
+        logger = MetricLogger(cfg.project, name, {**cfg.to_dict(), "lr": lr})
+
+        if cfg.estimator == 1:
+            params = GazeEstimator1.init(k_init)
+        else:
+            params = GazeEstimator2.init(k_init, extract_feature=True)
+        optimizer = optax.adam(lr)
+        opt_state = optimizer.init(params)
+        train_step, eval_step = make_steps(cfg.estimator, optimizer)
+        timer = StepTimer()
+
+        for e in range(cfg.epochs):
+            log = {}
+            preds, labels = [], []
+            it = batch_iterator(train, cfg.bs, shuffle=True, seed=cfg.seed + e, drop_remainder=True)
+            for bi, (x, y) in enumerate(prefetch_to_device(it, mesh=mesh)):
+                k = jax.random.fold_in(k_train, e * 100000 + bi)
+                with timer:
+                    params, opt_state, loss, o = train_step(params, opt_state, x, y, k)
+                preds.append(np.asarray(o)); labels.append(np.asarray(y))
+            _epoch_metrics(preds, labels, "train", log)
+
+            for split_name, split in (("valid", valid),) + ((("test", test),) if test else ()):
+                preds, labels = [], []
+                for batch in prefetch_to_device(batch_iterator(split, cfg.bs), mesh=mesh):
+                    x, y = batch[0], batch[1]
+                    valid_mask = batch[2] if len(batch) > 2 else np.ones(len(y), bool)
+                    o = eval_step(params, x)
+                    preds.append(np.asarray(o)[valid_mask]); labels.append(np.asarray(y)[valid_mask])
+                _epoch_metrics(preds, labels, split_name, log)
+
+            log["train/steps_per_sec"] = timer.per_sec()
+            logger.log(log)
+            final = log
+
+            if cfg.save_period > 0 and (e + 1) % cfg.save_period == 0:
+                save_checkpoint(
+                    f"saved/checkpoints/gaze_estimator{cfg.estimator}_lr_{lr}",
+                    e + 1,
+                    {"params": params, "step": jnp.asarray(e + 1)},
+                )
+        logger.finish()
+    return final
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    defaults = WorkloadConfig(project="iris-style-transfer", epochs=150, bs=128, save_period=10)
+    add_common_args(parser, defaults)
+    cfg = parse_config(parser, defaults)
+    assert cfg.estimator in (1, 2)
+    gaze_estimation(cfg)
+
+
+if __name__ == "__main__":
+    main()

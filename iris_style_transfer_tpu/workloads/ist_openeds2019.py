@@ -1,0 +1,286 @@
+"""Iris style transfer privacy evaluation — OpenEDS2019 (recognition +
+segmentation).
+
+Reference: ``iris_style_transfer_openeds2019.py`` — per batch: pre-NST
+classification with both classifiers vs true labels and vs style-donor
+labels ("mis"/false-acceptance, ``:82-90``); batched joint ``nst()`` over
+the whole (B,3,224,224) iris batch (``:93-100``); recomposition
+(``:112-136``); post-NST classification (``:144-152``); post-NST RITnet
+re-segmentation + IoU vs GT (``:155-162``); epoch-end aggregation with
+saved IoU tensors and mean metrics incl. false-acceptance (``:167-199``).
+Wandb namespaces are preserved verbatim.
+
+TPU-native: the whole per-batch pipeline (iris crop -> classify -> 200-step
+NST scan -> composite -> classify -> re-segment -> IoU) runs as three
+jitted programs with zero per-image host work, batch-sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import batch_iterator, build_ist_dataset, synthetic_openeds2019
+from ..data.openeds2019 import load_data_openeds2019
+from ..models import Classifier1, Classifier2, RITnet, VGG19
+from ..ops.image import crop_and_resize, gray_to_rgb
+from ..ops.metrics import classification_metrics, iou_per_class
+from ..parallel import make_mesh
+from ..pipelines import composite_batch
+from ..runtime import MetricLogger, StepTimer, restore_checkpoint
+from ..runtime.config import WorkloadConfig, add_common_args, parse_config
+from ..transfer.nst import make_nst_fn
+from ..utils import prepare_dir, seed as seed_all
+
+
+def make_programs(num_class: int, nst_epochs: int, c_w: float, s_w: float, compute_dtype):
+    @jax.jit
+    def pre_fn(vgg_params, c1, c2, c_imgs, masks, bboxes):
+        masked = c_imgs * masks.astype(c_imgs.dtype)
+        irises = jax.vmap(lambda im, bb: crop_and_resize(im, bb, (224, 224)))(masked, bboxes)
+        irises = gray_to_rgb(irises)
+        final, _, style = VGG19.apply(vgg_params, irises, compute_dtype=compute_dtype)
+        return irises, Classifier1.apply(c1, final), Classifier2.apply(c2, style)
+
+    nst_fn = jax.jit(
+        make_nst_fn(
+            epochs=nst_epochs,
+            c_loss_weight=c_w,
+            s_loss_weight=s_w,
+            compute_dtype=compute_dtype,
+        )
+    )
+
+    @jax.jit
+    def post_fn(vgg_params, c1, c2, frames, stylized, masks, bboxes):
+        new_frames = composite_batch(frames, stylized, masks, bboxes)
+        # re-crop the stylized iris at 224^2 for post-NST classification
+        masked = new_frames * masks.astype(new_frames.dtype)
+        irises = jax.vmap(lambda im, bb: crop_and_resize(im, bb, (224, 224)))(masked, bboxes)
+        irises = gray_to_rgb(irises)
+        final, _, style = VGG19.apply(vgg_params, irises, compute_dtype=compute_dtype)
+        p1 = Classifier1.apply(c1, final)
+        p2 = Classifier2.apply(c2, style)
+        return new_frames, p1, p2
+
+    @jax.jit
+    def seg_iou_fn(ritnet_params, new_frames, seg_gt):
+        # RITnet at full 400x640 resolution holds ~50MB activations/image —
+        # run in its own program so the caller can chunk it
+        seg = RITnet.apply(ritnet_params, new_frames)
+        return iou_per_class(seg, seg_gt)
+
+    def post_seg(ritnet_params, new_frames, seg_gt, chunk: int = 8):
+        parts = []
+        n = new_frames.shape[0]
+        for i in range(0, n, chunk):
+            parts.append(seg_iou_fn(ritnet_params, new_frames[i : i + chunk], seg_gt[i : i + chunk]))
+        ious = jnp.concatenate([p[0] for p in parts], axis=1)
+        miou = jnp.concatenate([p[1] for p in parts])
+        return ious, miou
+
+    return pre_fn, nst_fn, post_fn, post_seg
+
+
+def _save_png(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = np.asarray(np.clip(img, 0, 1) * 255.0, np.uint8)
+    if arr.ndim == 3:
+        arr = arr[..., 0] if arr.shape[-1] == 1 else arr
+    Image.fromarray(arr).save(path)
+
+
+def _load_head(path: str | None, default):
+    if path and os.path.exists(path):
+        step, state = restore_checkpoint(os.path.dirname(path)) or (0, None)
+        if state is not None:
+            return state["params"]
+    return default
+
+
+def iris_style_transfer_openeds2019(
+    cfg: WorkloadConfig,
+    dataset,
+    vgg_params,
+    ritnet_params,
+    c1_params,
+    c2_params,
+    c_loss_weight: float,
+    s_loss_weight: float,
+    nst_epoch: int,
+    metric_prefix: str,
+    save_dir: str,
+    logger: MetricLogger,
+    save_period: int = 50,
+    num_class: int = 152,
+) -> dict:
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    pre_fn, nst_fn, post_fn, post_seg = make_programs(
+        num_class, nst_epoch, c_loss_weight, s_loss_weight, compute_dtype
+    )
+
+    agg = {
+        "pre1": [], "pre2": [], "post1": [], "post2": [],
+        "c_labels": [], "s_labels": [], "ious": [], "mious": [],
+        "c_loss": [], "s_loss": [],
+    }
+    timer = StepTimer()
+
+    batches = batch_iterator(
+        (
+            dataset.c_imgs, dataset.c_labels, dataset.c_masks_iris,
+            dataset.c_iris_bbs, dataset.c_masks_gt, dataset.s_irises, dataset.s_labels,
+        ),
+        cfg.bs,
+        pad_final=True,
+    )
+    for batch_id, batch in enumerate(batches):
+        c_imgs, c_labels, masks, bboxes, seg_gt, s_irises, s_labels = batch[:7]
+        valid = batch[7] if len(batch) > 7 else np.ones(len(c_labels), bool)
+        blog = {}
+
+        irises, p1, p2 = pre_fn(
+            vgg_params, c1_params, c2_params,
+            jnp.asarray(c_imgs), jnp.asarray(masks), jnp.asarray(bboxes),
+        )
+        yy, ys = jnp.asarray(c_labels), jnp.asarray(s_labels)
+        for nm, pred, lab in (("c1", p1, yy), ("c2", p2, yy)):
+            m = classification_metrics(lab, pred, num_class)
+            blog.update({f"{metric_prefix}pre/{nm}/batch/{k}": v for k, v in m.items()})
+        for nm, pred in (("c1", p1), ("c2", p2)):
+            m = classification_metrics(ys, pred, num_class)
+            blog.update({f"{metric_prefix}pre/{nm}/mis/batch/{k}": v for k, v in m.items()})
+        agg["pre1"].append(np.asarray(p1)[valid]); agg["pre2"].append(np.asarray(p2)[valid])
+        agg["c_labels"].append(np.asarray(c_labels)[valid])
+        agg["s_labels"].append(np.asarray(s_labels)[valid])
+
+        if batch_id % save_period == 0:
+            _save_png(f"{save_dir}batch_{batch_id}_raw.png", np.asarray(c_imgs[0]))
+            _save_png(f"{save_dir}batch_{batch_id}_sty.png", np.asarray(s_irises[0]))
+
+        with timer:
+            result = nst_fn(
+                vgg_params, irises, gray_to_rgb(jnp.asarray(s_irises))
+            )
+            result.x.block_until_ready()
+        c_loss = float(result.c_loss_hist[-1]); s_loss = float(result.s_loss_hist[-1])
+        agg["c_loss"].append(c_loss); agg["s_loss"].append(s_loss)
+        blog[f"{metric_prefix}/batch/c_loss"] = c_loss
+        blog[f"{metric_prefix}/batch/s_loss"] = s_loss
+        blog[f"{metric_prefix}/batch/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
+
+        new_frames, p1, p2 = post_fn(
+            vgg_params, c1_params, c2_params,
+            jnp.asarray(c_imgs), result.x, jnp.asarray(masks), jnp.asarray(bboxes),
+        )
+        ious, miou = post_seg(ritnet_params, new_frames, jnp.asarray(seg_gt))
+        for nm, pred, lab in (("c1", p1, yy), ("c2", p2, yy)):
+            m = classification_metrics(lab, pred, num_class)
+            blog.update({f"{metric_prefix}post/{nm}/batch/{k}": v for k, v in m.items()})
+        for nm, pred in (("c1", p1), ("c2", p2)):
+            m = classification_metrics(ys, pred, num_class)
+            blog.update({f"{metric_prefix}post/{nm}/mis/batch/{k}": v for k, v in m.items()})
+        ious_np = np.asarray(ious)[:, valid]
+        for c in range(4):
+            blog[f"{metric_prefix}post/batch/iou{c}"] = float(np.nanmean(ious_np[c]))
+        blog[f"{metric_prefix}post/batch/miou"] = float(np.nanmean(np.asarray(miou)[valid]))
+        agg["post1"].append(np.asarray(p1)[valid]); agg["post2"].append(np.asarray(p2)[valid])
+        agg["ious"].append(ious_np); agg["mious"].append(np.asarray(miou)[valid])
+
+        if batch_id % save_period == 0:
+            _save_png(f"{save_dir}batch_{batch_id}_new.png", np.asarray(new_frames[0]))
+
+        logger.log(blog)
+
+    # epoch aggregation (:167-199)
+    log = {}
+    ious = np.concatenate(agg["ious"], axis=1)
+    for c in range(4):
+        np.save(f"{save_dir}ious{c}_post.npy", ious[c])
+        log[f"{metric_prefix}post/mean_iou{c}"] = float(np.nanmean(ious[c]))
+    mious = np.concatenate(agg["mious"]); np.save(f"{save_dir}mious_post.npy", mious)
+    log[f"{metric_prefix}post/mean_miou"] = float(np.nanmean(mious))
+
+    c_loss = float(np.nanmean(agg["c_loss"])); s_loss = float(np.nanmean(agg["s_loss"]))
+    log[f"{metric_prefix}/c_loss"] = c_loss
+    log[f"{metric_prefix}/s_loss"] = s_loss
+    log[f"{metric_prefix}/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
+
+    yy = jnp.asarray(np.concatenate(agg["c_labels"]))
+    ys = jnp.asarray(np.concatenate(agg["s_labels"]))
+    for phase in ("pre", "post"):
+        for nm in ("1", "2"):
+            pred = jnp.asarray(np.concatenate(agg[f"{phase}{nm}"]))
+            m = classification_metrics(yy, pred, num_class)
+            log.update({f"{metric_prefix}{phase}/c{nm}/{k}": v for k, v in m.items()})
+            m = classification_metrics(ys, pred, num_class)
+            log.update({f"{metric_prefix}{phase}/c{nm}/mis/{k}": v for k, v in m.items()})
+    log[f"{metric_prefix}nst_batches_per_sec"] = timer.per_sec()
+    log[f"{metric_prefix}stylized_images_per_min"] = timer.per_sec(cfg.bs) * 60
+    logger.log(log)
+    return log
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    defaults = WorkloadConfig(project="iris-style-transfer-openeds2019", bs=64)
+    add_common_args(parser, defaults)
+    parser.add_argument("-path1", "--classifier1_path", type=str, default="")
+    parser.add_argument("-path2", "--classifier2_path", type=str, default="")
+    parser.add_argument("--nst_epochs", type=int, nargs="+", default=[200])
+    parser.add_argument("--s_loss_weights", type=float, nargs="+", default=[1.0])
+    cfg = parse_config(parser, defaults)
+    args = parser.parse_args()
+
+    key = seed_all(cfg.seed)
+    base = os.path.join(cfg.data_dir, "openeds2019")
+    if os.path.isdir(base):
+        data = load_data_openeds2019(cfg.test_split_ratio, load_seg=True, data_dir=base)
+    else:
+        print(f"[data] {base} not found -> synthetic dataset")
+        data = synthetic_openeds2019(n_per_user=6, num_users=8, seed=cfg.seed)
+    train_x, train_y, train_m, test_x, test_y, test_m, num_class = data
+    print("number of classes:", num_class)
+
+    k_vgg, k_c1, k_c2 = jax.random.split(key, 3)
+    vgg_params = VGG19.init(k_vgg)
+    ritnet_params = RITnet.pretrained()
+    c1_params = _load_head(args.classifier1_path, Classifier1.init(k_c1, num_class))
+    c2_params = _load_head(args.classifier2_path, Classifier2.init(k_c2, num_class=num_class))
+
+    splits = [("test/", test_x, test_y, test_m)]
+    if cfg.eval_train:
+        splits.append(("train/", train_x, train_y, train_m))
+
+    for prefix, xs, ys_, ms in splits:
+        dataset = build_ist_dataset(xs, ys_, ms, ritnet_params, cfg.glint_threshold)
+        for sw in args.s_loss_weights:
+            for nst_epoch in args.nst_epochs:
+                save_dir = f"saved/openeds2019/sw_{sw}_epoch_{nst_epoch}/{prefix}"
+                prepare_dir(save_dir)
+                name = f"seed {cfg.seed} sw {sw} epoch {nst_epoch} {prefix[:-1]}"
+                logger = MetricLogger(cfg.project, name, cfg.to_dict())
+                # pre-NST IoUs recorded at dataset construction (:259-263)
+                pre_log = {}
+                for c in range(4):
+                    np.save(f"{save_dir}ious{c}_pre.npy", dataset.ious[c])
+                    pre_log[f"{prefix}pre/mean_iou{c}"] = float(np.nanmean(dataset.ious[c]))
+                np.save(f"{save_dir}mious_pre.npy", dataset.mious)
+                pre_log[f"{prefix}pre/mean_miou"] = float(np.nanmean(dataset.mious))
+                logger.log(pre_log)
+                iris_style_transfer_openeds2019(
+                    cfg, dataset, vgg_params, ritnet_params, c1_params, c2_params,
+                    cfg.c_loss_weight, sw, nst_epoch, prefix, save_dir, logger,
+                    num_class=num_class,
+                )
+                logger.finish()
+
+
+if __name__ == "__main__":
+    main()

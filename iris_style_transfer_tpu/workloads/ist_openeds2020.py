@@ -1,0 +1,237 @@
+"""Iris style transfer privacy evaluation — OpenEDS2020 (gaze preservation).
+
+Reference: ``iris_style_transfer_openeds2020.py`` — one *fixed* style iris
+for all content images ("one-for-all", a hand-picked frame masked via
+EfficientNet + glint threshold, ``:237-249``).  Per batch: pre-NST gaze
+estimation with both estimators + angular distances (``:64-75``); per-image
+iris extraction from the EfficientNet seg (``:78-99``, the inline
+``mask_and_crop_iris`` variant); batched ``nst()`` (``:103-110``);
+recomposition (``:121-139``); post-NST gaze estimation (``:145-156``);
+aggregation saving preds/labels + wandb (``:161-194``).
+
+TPU-native: segmentation, landmark extraction (the reference's per-image
+OpenCV host round trip, ``gaze_estimators.py:127``), iris extraction, the
+NST scan, recomposition and both estimators all run as jitted batched
+device programs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import batch_iterator, synthetic_eye_batch
+from ..data.openeds2020 import load_data_openeds2020
+from ..models import EfficientNet, GazeEstimator1, GazeEstimator2, ResNet50, VGG19
+from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox, resize_bilinear
+from ..ops.metrics import angular_distance
+from ..pipelines import composite_batch, extract_iris_batch
+from ..runtime import MetricLogger, StepTimer, restore_checkpoint
+from ..runtime.config import WorkloadConfig, add_common_args, parse_config
+from ..transfer.nst import make_nst_fn
+from ..utils import prepare_dir, seed as seed_all
+
+
+def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype):
+    @jax.jit
+    def pre_fn(eff_params, g1_params, g2_params, c_imgs):
+        segs = EfficientNet.apply(eff_params, c_imgs)
+        preds1 = GazeEstimator1.apply(g1_params, segs, extract_feature=True)
+        preds2 = GazeEstimator2.apply(
+            g2_params, gray_to_rgb(c_imgs), extract_feature=True
+        )
+        irises, masks, bboxes = extract_iris_batch(c_imgs, segs, glint)
+        return segs, preds1, preds2, irises, masks, bboxes
+
+    nst_fn = jax.jit(
+        make_nst_fn(
+            epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
+            compute_dtype=compute_dtype,
+        )
+    )
+
+    @jax.jit
+    def post_fn(eff_params, g1_params, g2_params, frames, stylized, masks, bboxes):
+        new_frames = composite_batch(frames, stylized, masks, bboxes)
+        segs = EfficientNet.apply(eff_params, new_frames)
+        preds1 = GazeEstimator1.apply(g1_params, segs, extract_feature=True)
+        preds2 = GazeEstimator2.apply(
+            g2_params, gray_to_rgb(new_frames), extract_feature=True
+        )
+        return new_frames, preds1, preds2
+
+    return pre_fn, nst_fn, post_fn
+
+
+def iris_style_transfer_openeds2020(
+    cfg, images, labels, eff_params, g1_params, g2_params, vgg_params, s_iris,
+    c_loss_weight, s_loss_weight, nst_epoch, metric_prefix, save_dir, logger,
+    save_period: int = 50,
+):
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    pre_fn, nst_fn, post_fn = make_programs(
+        nst_epoch, c_loss_weight, s_loss_weight, cfg.glint_threshold, compute_dtype
+    )
+    s_iris_rgb = gray_to_rgb(jnp.asarray(s_iris))
+
+    agg = {"pre1": [], "pre2": [], "post1": [], "post2": [], "labels": [],
+           "c_loss": [], "s_loss": []}
+    timer = StepTimer()
+
+    def _save_png(path, img):
+        from PIL import Image
+
+        arr = np.asarray(np.clip(np.asarray(img), 0, 1) * 255.0, np.uint8)
+        Image.fromarray(arr[..., 0] if arr.ndim == 3 else arr).save(path)
+
+    for batch_id, batch in enumerate(batch_iterator((images, labels), cfg.bs, pad_final=True)):
+        c_imgs, labs = batch[0], batch[1]
+        valid = batch[2] if len(batch) > 2 else np.ones(len(labs), bool)
+        blog = {}
+        if batch_id % save_period == 0:
+            _save_png(f"{save_dir}batch_{batch_id}_raw.png", c_imgs[0])
+
+        c_imgs_j = jnp.asarray(c_imgs)
+        segs, p1, p2, irises, masks, bboxes = pre_fn(eff_params, g1_params, g2_params, c_imgs_j)
+        labs_j = jnp.asarray(labs)
+        r1, d1 = angular_distance(p1, labs_j)
+        r2, d2 = angular_distance(p2, labs_j)
+        blog[f"{metric_prefix}/batch/pre/radian_distance1"] = float(r1.mean())
+        blog[f"{metric_prefix}/batch/pre/degree_distance1"] = float(d1.mean())
+        blog[f"{metric_prefix}/batch/pre/radian_distance2"] = float(r2.mean())
+        blog[f"{metric_prefix}/batch/pre/degree_distance2"] = float(d2.mean())
+        agg["pre1"].append(np.asarray(p1)[valid]); agg["pre2"].append(np.asarray(p2)[valid])
+        agg["labels"].append(np.asarray(labs)[valid])
+
+        with timer:
+            s_batch = jnp.broadcast_to(s_iris_rgb[None], irises.shape)
+            result = nst_fn(vgg_params, irises, s_batch)
+            result.x.block_until_ready()
+        c_loss = float(result.c_loss_hist[-1]); s_loss = float(result.s_loss_hist[-1])
+        agg["c_loss"].append(c_loss); agg["s_loss"].append(s_loss)
+        blog[f"{metric_prefix}/batch/c_loss"] = c_loss
+        blog[f"{metric_prefix}/batch/s_loss"] = s_loss
+        blog[f"{metric_prefix}/batch/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
+
+        new_frames, p1, p2 = post_fn(
+            eff_params, g1_params, g2_params, c_imgs_j, result.x, masks, bboxes
+        )
+        r1, d1 = angular_distance(p1, labs_j)
+        r2, d2 = angular_distance(p2, labs_j)
+        blog[f"{metric_prefix}/batch/post/radian_distance1"] = float(r1.mean())
+        blog[f"{metric_prefix}/batch/post/degree_distance1"] = float(d1.mean())
+        blog[f"{metric_prefix}/batch/post/radian_distance2"] = float(r2.mean())
+        blog[f"{metric_prefix}/batch/post/degree_distance2"] = float(d2.mean())
+        agg["post1"].append(np.asarray(p1)[valid]); agg["post2"].append(np.asarray(p2)[valid])
+
+        if batch_id % save_period == 0:
+            _save_png(f"{save_dir}batch_{batch_id}_new.png", new_frames[0])
+        logger.log(blog)
+
+    log = {}
+    labels_all = np.concatenate(agg["labels"]); np.save(f"{save_dir}labels.npy", labels_all)
+    for phase in ("pre", "post"):
+        for i in ("1", "2"):
+            preds = np.concatenate(agg[f"{phase}{i}"])
+            np.save(f"{save_dir}preds{i}_{phase}.npy", preds)
+            rad, deg = angular_distance(jnp.asarray(preds), jnp.asarray(labels_all))
+            log[f"{metric_prefix}/{phase}/radian_distance{i}"] = float(rad.mean())
+            log[f"{metric_prefix}/{phase}/degree_distance{i}"] = float(deg.mean())
+    c_loss = float(np.nanmean(agg["c_loss"])); s_loss = float(np.nanmean(agg["s_loss"]))
+    log[f"{metric_prefix}/c_loss"] = c_loss
+    log[f"{metric_prefix}/s_loss"] = s_loss
+    log[f"{metric_prefix}/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
+    log[f"{metric_prefix}/stylized_images_per_min"] = timer.per_sec(cfg.bs) * 60
+    logger.log(log)
+    return log
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    defaults = WorkloadConfig(project="iris-style-transfer-openeds2020", bs=128)
+    add_common_args(parser, defaults)
+    parser.add_argument("-path1", "--estimator1_path", type=str, default="")
+    parser.add_argument("-path2", "--estimator2_path", type=str, default="")
+    parser.add_argument("--nst_epochs", type=int, nargs="+", default=[200])
+    parser.add_argument("--s_loss_weights", type=float, nargs="+", default=[1.0])
+    cfg = parse_config(parser, defaults)
+    args = parser.parse_args()
+
+    key = seed_all(cfg.seed)
+    k_vgg, k_eff, k_g1, k_g2, k_res = jax.random.split(key, 5)
+    vgg_params = VGG19.init(k_vgg)
+    eff_params = EfficientNet.init(k_eff)
+    g1_params = GazeEstimator1.init(k_g1)
+    g2_params = GazeEstimator2.init(k_g2, extract_feature=True)
+    for path, name in ((args.estimator1_path, "g1"), (args.estimator2_path, "g2")):
+        if path and os.path.isdir(os.path.dirname(path or ".")):
+            res = restore_checkpoint(os.path.dirname(path))
+            if res:
+                if name == "g1":
+                    g1_params = res[1]["params"]
+                else:
+                    g2_params = res[1]["params"]
+
+    base = os.path.join(cfg.data_dir, "openeds2020", "openEDS2020-GazePrediction")
+    use_real = os.path.isdir(base)
+
+    # fixed style iris: a hand-picked frame, EfficientNet-masked + cropped
+    # (reference :237-249)
+    if use_real:
+        from PIL import Image
+
+        s_path = os.path.join(base, "test", "sequences", "2577", "023.png")
+        s_img = np.asarray(Image.open(s_path).convert("L"), np.float32)[..., None] / 255.0
+    else:
+        s_img = synthetic_eye_batch(1, seed=cfg.seed + 999)[0][0]
+
+    @jax.jit
+    def style_iris(img):
+        seg = EfficientNet.apply(eff_params, img[None])[0]
+        m = (seg == 2)[..., None] & (img <= cfg.glint_threshold)
+        masked = img * m
+        bb = nonzero_bbox(masked[..., 0])
+        return crop_and_resize(masked, bb, (224, 224))
+
+    s_iris = style_iris(jnp.asarray(s_img))
+
+    postfixes = ["validation/"]
+    if cfg.eval_train:
+        postfixes.append("train/")
+    if cfg.eval_test:
+        postfixes.append("test/")
+
+    for postfix in postfixes:
+        print(f"loading {postfix[:-1]} set...")
+        if use_real:
+            images, labels = load_data_openeds2020(
+                extract_feature=False, data_path=base + "/", postfix=postfix
+            )
+        else:
+            imgs, _, _ = synthetic_eye_batch(24, seed=cfg.seed)
+            rng = np.random.default_rng(cfg.seed)
+            labels = rng.normal(size=(24, 3)).astype(np.float32)
+            labels /= np.linalg.norm(labels, axis=1, keepdims=True)
+            images = imgs
+        print(f"number of samples in {postfix} set:", len(images))
+
+        for sw in args.s_loss_weights:
+            for nst_epoch in args.nst_epochs:
+                save_dir = f"saved/openeds2020/sw_{sw}_epoch_{nst_epoch}/{postfix}"
+                prepare_dir(save_dir)
+                np.save(f"{save_dir}gts.npy", labels)
+                name = f"seed {cfg.seed} sw {sw} epoch {nst_epoch} test"
+                logger = MetricLogger(cfg.project, name, cfg.to_dict())
+                iris_style_transfer_openeds2020(
+                    cfg, images, labels, eff_params, g1_params, g2_params, vgg_params,
+                    s_iris, cfg.c_loss_weight, sw, nst_epoch, postfix, save_dir, logger,
+                )
+                logger.finish()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+// Native data loader: multi-threaded PNG/JPEG decode -> grayscale float.
+//
+// The reference's input pipeline decodes up to 550K frames through PIL one
+// image at a time on the Python side (data_preprocessing.py:297,326,403).
+// This loader is the TPU framework's native equivalent: a C++ decode +
+// normalize stage feeding the host->device prefetcher, parallel across a
+// thread pool, exposed to Python via ctypes (see
+// iris_style_transfer_tpu/data/native_loader.py).
+//
+// Build: make -C native   (links libpng + libjpeg + libz + pthread)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <atomic>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+extern "C" {
+
+// Decode one image file (PNG or JPEG by magic) to grayscale float32 in
+// [0,1], row-major (h, w). `out` must hold max_h*max_w floats. Returns 0
+// on success and writes the actual dimensions; nonzero on failure.
+int istl_decode_gray(const char* path, float* out, int* out_h, int* out_w,
+                     int max_h, int max_w);
+
+// Decode `n` same-sized images in parallel into a contiguous
+// (n, h, w) float32 buffer. Files whose dimensions differ from (h, w)
+// fail. Returns the number of failures (0 == all good).
+int istl_decode_batch(const char** paths, int n, float* out, int h, int w,
+                      int threads);
+}
+
+namespace {
+
+constexpr double kGrayR = 0.299, kGrayG = 0.587, kGrayB = 0.114;
+
+int decode_png(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
+               int max_w) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return 2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return 2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 3;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  if ((int)h > max_h || (int)w > max_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 4;
+  }
+  int color = png_get_color_type(png, info);
+  int depth = png_get_bit_depth(png, info);
+
+  // normalize to 8-bit gray (PIL 'L' semantics: ITU-R 601 luma)
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  int channels = png_get_channels(png, info);
+  std::vector<uint8_t> row(png_get_rowbytes(png, info));
+  for (png_uint_32 y = 0; y < h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    float* dst = out + (size_t)y * w;
+    if (channels == 1) {
+      for (png_uint_32 x = 0; x < w; ++x) dst[x] = row[x] / 255.0f;
+    } else {  // RGB
+      for (png_uint_32 x = 0; x < w; ++x) {
+        const uint8_t* p = &row[(size_t)x * channels];
+        double g = kGrayR * p[0] + kGrayG * p[1] + kGrayB * p[2];
+        dst[x] = (float)((uint8_t)(g + 0.5) / 255.0);
+      }
+    }
+  }
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out_h = (int)h;
+  *out_w = (int)w;
+  return 0;
+}
+
+int decode_jpeg(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
+                int max_w) {
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  cinfo.out_color_space = JCS_GRAYSCALE;  // libjpeg does the luma transform
+  jpeg_start_decompress(&cinfo);
+  int w = cinfo.output_width, h = cinfo.output_height;
+  if (h > max_h || w > max_w) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 4;
+  }
+  std::vector<uint8_t> row(w);
+  uint8_t* rowp = row.data();
+  while ((int)cinfo.output_scanline < h) {
+    int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    float* dst = out + (size_t)y * w;
+    for (int x = 0; x < w; ++x) dst[x] = row[x] / 255.0f;
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
+}  // namespace
+
+int istl_decode_gray(const char* path, float* out, int* out_h, int* out_w,
+                     int max_h, int max_w) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return 1;
+  uint8_t magic[4] = {0};
+  if (fread(magic, 1, 4, fp) != 4) {
+    fclose(fp);
+    return 1;
+  }
+  rewind(fp);
+  int rc;
+  if (magic[0] == 0x89 && magic[1] == 'P') {
+    rc = decode_png(fp, out, out_h, out_w, max_h, max_w);
+  } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    rc = decode_jpeg(fp, out, out_h, out_w, max_h, max_w);
+  } else {
+    rc = 5;  // unknown format
+  }
+  fclose(fp);
+  return rc;
+}
+
+int istl_decode_batch(const char** paths, int n, float* out, int h, int w,
+                      int threads) {
+  if (threads < 1) threads = 1;
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int ih = 0, iw = 0;
+      int rc = istl_decode_gray(paths[i], out + (size_t)i * h * w, &ih, &iw,
+                                h, w);
+      if (rc != 0 || ih != h || iw != w) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return failures.load();
+}

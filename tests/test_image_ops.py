@@ -1,0 +1,147 @@
+"""Tests for static-shape image primitives: bbox/crop/composite/warp/CLAHE."""
+
+import cv2
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from iris_style_transfer_tpu.ops import (
+    clahe,
+    composite_iris,
+    crop_and_resize,
+    gamma_lut,
+    gray_to_rgb,
+    nonzero_bbox,
+    paste_resized,
+    resize_bilinear,
+    rgb_to_grayscale,
+    rotate,
+)
+
+
+def test_nonzero_bbox_matches_reference_crop():
+    # reference crop_image (utils.py:44-72): min/max of nonzero indices
+    img = np.zeros((20, 30), np.float32)
+    img[5:12, 8:25] = 1.0
+    bb = np.asarray(nonzero_bbox(jnp.asarray(img)))
+    assert list(bb) == [5, 8, 11, 24]
+
+
+def test_nonzero_bbox_empty_mask_total():
+    bb = np.asarray(nonzero_bbox(jnp.zeros((10, 12))))
+    assert list(bb) == [0, 0, 9, 11]
+
+
+def test_resize_bilinear_close_to_torch():
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 64, 48, 1)).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), (224, 224)))
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = torch.nn.functional.interpolate(
+        tx, size=(224, 224), mode="bilinear", antialias=True
+    ).permute(0, 2, 3, 1).numpy()
+    assert np.abs(got - want).mean() < 5e-3
+
+
+def test_resize_downscale_close_to_torch():
+    rng = np.random.default_rng(1)
+    x = rng.random((1, 300, 200, 1)).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), (100, 100)))
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = torch.nn.functional.interpolate(
+        tx, size=(100, 100), mode="bilinear", antialias=True
+    ).permute(0, 2, 3, 1).numpy()
+    assert np.abs(got - want).mean() < 5e-3
+
+
+def test_crop_and_resize_matches_crop_then_resize():
+    rng = np.random.default_rng(2)
+    img = rng.random((60, 80, 1)).astype(np.float32)
+    bbox = jnp.asarray([10, 20, 39, 59])  # 30x40 crop
+    got = np.asarray(crop_and_resize(jnp.asarray(img), bbox, (224, 224)))
+    crop = img[10:40, 20:60]
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(crop).permute(2, 0, 1)[None],
+        size=(224, 224),
+        mode="bilinear",
+        antialias=False,
+    )[0].permute(1, 2, 0).numpy()
+    # plain bilinear sampling: identical on upscale
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_paste_resized_roundtrip():
+    rng = np.random.default_rng(3)
+    patch = rng.random((224, 224, 1)).astype(np.float32)
+    bbox = jnp.asarray([5, 7, 34, 46])  # 30x40 region
+    pasted, inside = paste_resized((60, 80), jnp.asarray(patch), bbox)
+    pasted = np.asarray(pasted)
+    inside = np.asarray(inside)
+    assert pasted.shape == (60, 80, 1)
+    assert inside[:, :, 0].sum() == 30 * 40
+    assert np.all(pasted[~inside[:, :, 0].astype(bool)] == 0)
+    # values inside come from the patch value range
+    assert pasted[inside[:, :, 0].astype(bool)].min() >= patch.min() - 1e-5
+
+
+def test_composite_iris_semantics():
+    # frame * (1-m) + stylized_resized * m, m = iris_mask & bbox
+    frame = np.full((40, 50, 1), 0.25, np.float32)
+    stylized = np.full((224, 224, 1), 0.75, np.float32)
+    mask = np.zeros((40, 50, 1), bool)
+    mask[10:20, 15:30] = True
+    bbox = jnp.asarray([10, 15, 19, 29])
+    out = np.array(
+        composite_iris(jnp.asarray(frame), jnp.asarray(stylized), jnp.asarray(mask), bbox)
+    )
+    assert np.allclose(out[10:20, 15:30], 0.75, atol=1e-5)
+    out[10:20, 15:30] = 0.25
+    assert np.allclose(out, 0.25)
+
+
+def test_grayscale_matches_torchvision_weights():
+    rng = np.random.default_rng(4)
+    x = rng.random((8, 8, 3)).astype(np.float32)
+    got = np.asarray(rgb_to_grayscale(jnp.asarray(x)))
+    want = (0.2989 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])[..., None]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert gray_to_rgb(jnp.asarray(want)).shape == (8, 8, 3)
+
+
+def test_gamma_lut_matches_cv2():
+    table = 255.0 * (np.linspace(0, 1, 256) ** 0.8)  # ritnet.py:72
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    want = cv2.LUT(u8, table).astype(np.uint8)
+    x = u8.astype(np.float32) / 255.0
+    got = (np.asarray(gamma_lut(jnp.asarray(x))) * 255.0).round().astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_clahe_matches_cv2():
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, size=(400, 640), dtype=np.uint8)
+    # add structure so histograms are non-uniform
+    yy, xx = np.mgrid[0:400, 0:640]
+    u8 = ((u8 * 0.3) + 80 * np.exp(-(((yy - 200) ** 2 + (xx - 320) ** 2) / 20000.0))).astype(
+        np.uint8
+    )
+    want = cv2.createCLAHE(clipLimit=1.5, tileGridSize=(8, 8)).apply(u8)
+    x = u8.astype(np.float32) / 255.0
+    got = (np.asarray(clahe(jnp.asarray(x))) * 255.0).round().astype(np.int32)
+    diff = np.abs(got - want.astype(np.int32))
+    # bit-level parity modulo cv2's fixed-point interpolation: allow <=1 LSB
+    # on a small fraction of pixels
+    assert (diff > 1).mean() < 0.01, f"max={diff.max()}, frac>1={(diff > 1).mean()}"
+
+
+def test_rotate_identity_and_90():
+    rng = np.random.default_rng(7)
+    img = rng.random((21, 21, 1)).astype(np.float32)
+    out0 = np.asarray(rotate(jnp.asarray(img), jnp.float32(0.0)))
+    np.testing.assert_allclose(out0, img, atol=1e-5)
+    out90 = np.asarray(rotate(jnp.asarray(img), jnp.float32(90.0)))
+    np.testing.assert_allclose(out90[:, :, 0], np.rot90(img[:, :, 0], 1), atol=1e-4)

@@ -1,0 +1,105 @@
+"""NN primitive parity vs torch (conv/bn/pool/upsample/adaptive pool)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from iris_style_transfer_tpu.models import layers as L
+
+
+def _to_nhwc(t):
+    return np.transpose(t, (0, 2, 3, 1))
+
+
+def _to_nchw(a):
+    return np.transpose(a, (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("k,stride,pad", [(3, 1, 1), (1, 1, 0), (3, 2, 1), (7, 2, 3)])
+def test_conv2d_matches_torch(k, stride, pad):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 5)).astype(np.float32)
+    w = rng.standard_normal((k, k, 5, 7)).astype(np.float32) * 0.1
+    b = rng.standard_normal(7).astype(np.float32)
+    # highest precision isolates layout/padding correctness from the
+    # backend's default (TPU-style bf16-pass) matmul precision
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(L.conv2d(jnp.asarray(x), {"w": jnp.asarray(w), "b": jnp.asarray(b)}, stride=stride, padding=pad))
+    tw = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))  # HWIO -> OIHW
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(_to_nchw(x)), tw, torch.from_numpy(b), stride=stride, padding=pad
+    ).numpy()
+    np.testing.assert_allclose(got, _to_nhwc(want), rtol=1e-4, atol=1e-4)
+
+
+def test_batchnorm_eval_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 8, 8, 6)).astype(np.float32)
+    p = {
+        "scale": rng.standard_normal(6).astype(np.float32),
+        "bias": rng.standard_normal(6).astype(np.float32),
+        "mean": rng.standard_normal(6).astype(np.float32),
+        "var": rng.random(6).astype(np.float32) + 0.5,
+    }
+    got = np.asarray(L.batchnorm(jnp.asarray(x), jax.tree.map(jnp.asarray, p)))
+    bn = torch.nn.BatchNorm2d(6).eval()
+    bn.weight.data = torch.from_numpy(p["scale"])
+    bn.bias.data = torch.from_numpy(p["bias"])
+    bn.running_mean.data = torch.from_numpy(p["mean"])
+    bn.running_var.data = torch.from_numpy(p["var"])
+    want = bn(torch.from_numpy(_to_nchw(x))).detach().numpy()
+    np.testing.assert_allclose(got, _to_nhwc(want), rtol=1e-4, atol=1e-4)
+
+
+def test_pools_match_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    got = np.asarray(L.max_pool(jnp.asarray(x), 2, 2))
+    want = torch.nn.functional.max_pool2d(torch.from_numpy(_to_nchw(x)), 2).numpy()
+    np.testing.assert_allclose(got, _to_nhwc(want), atol=1e-6)
+    got = np.asarray(L.avg_pool(jnp.asarray(x), 2, 2))
+    want = torch.nn.functional.avg_pool2d(torch.from_numpy(_to_nchw(x)), 2).numpy()
+    np.testing.assert_allclose(got, _to_nhwc(want), atol=1e-6)
+
+
+def test_upsample_nearest_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 5, 7, 2)).astype(np.float32)
+    got = np.asarray(L.upsample_nearest(jnp.asarray(x), 2))
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(_to_nchw(x)), scale_factor=2, mode="nearest"
+    ).numpy()
+    np.testing.assert_allclose(got, _to_nhwc(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(14, 14), (7, 7), (10, 13)])
+def test_adaptive_avg_pool_matches_torch(hw):
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, *hw, 4)).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(L.adaptive_avg_pool(jnp.asarray(x), (7, 7)))
+    want = torch.nn.functional.adaptive_avg_pool2d(torch.from_numpy(_to_nchw(x)), (7, 7)).numpy()
+    np.testing.assert_allclose(got, _to_nhwc(want), rtol=1e-4, atol=1e-5)
+
+
+def test_linear_matches_torch():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 10)).astype(np.float32)
+    w = rng.standard_normal((10, 6)).astype(np.float32)
+    b = rng.standard_normal(6).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(L.linear(jnp.asarray(x), {"w": jnp.asarray(w), "b": jnp.asarray(b)}))
+    want = torch.nn.functional.linear(
+        torch.from_numpy(x), torch.from_numpy(w.T), torch.from_numpy(b)
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_leaky_relu_matches_torch():
+    x = np.linspace(-2, 2, 11).astype(np.float32)
+    got = np.asarray(L.leaky_relu(jnp.asarray(x)))
+    want = torch.nn.functional.leaky_relu(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)

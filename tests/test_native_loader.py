@@ -1,0 +1,55 @@
+"""Native C++ decode stage vs PIL (skipped when the .so isn't built)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from iris_style_transfer_tpu.data import native_loader
+
+
+@pytest.fixture(scope="module")
+def image_files():
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(64, 80), dtype=np.uint8)
+        p = os.path.join(tmp, f"g{i}.png")
+        Image.fromarray(arr, "L").save(p)
+        paths.append((p, arr))
+    # an RGB png and a jpeg too
+    rgb = rng.integers(0, 256, size=(64, 80, 3), dtype=np.uint8)
+    p = os.path.join(tmp, "rgb.png")
+    Image.fromarray(rgb, "RGB").save(p)
+    paths.append((p, np.asarray(Image.open(p).convert("L"))))
+    pj = os.path.join(tmp, "g.jpg")
+    Image.fromarray(rng.integers(0, 256, size=(64, 80), dtype=np.uint8), "L").save(pj, quality=95)
+    paths.append((pj, np.asarray(Image.open(pj).convert("L"))))
+    return paths
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="native lib not built")
+def test_native_decode_matches_pil(image_files):
+    paths = [p for p, _ in image_files]
+    want = np.stack([a for _, a in image_files]).astype(np.float32) / 255.0
+    got = native_loader.decode_gray_batch(paths, 64, 80, threads=4)[..., 0]
+    # grayscale PNGs must be exact; RGB->L and JPEG within 1-2 levels
+    np.testing.assert_allclose(got, want, atol=2.5 / 255.0)
+    np.testing.assert_allclose(got[:6], want[:6], atol=1e-6)
+
+
+def test_pil_fallback_path(image_files, monkeypatch):
+    monkeypatch.setattr(native_loader, "_load", lambda: None)
+    paths = [p for p, _ in image_files[:3]]
+    want = np.stack([a for _, a in image_files[:3]]).astype(np.float32) / 255.0
+    got = native_loader.decode_gray_batch(paths, 64, 80)[..., 0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="native lib not built")
+def test_native_decode_size_mismatch_raises(image_files):
+    with pytest.raises(IOError):
+        native_loader.decode_gray_batch([image_files[0][0]], 32, 32)

@@ -1,0 +1,80 @@
+"""NST engine behavior: loss descent, clamping, histories, batch jointness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iris_style_transfer_tpu.models import VGG19
+from iris_style_transfer_tpu.transfer import nst
+
+
+@pytest.fixture(scope="module")
+def vgg_params():
+    return VGG19.init(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    s = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    return c, s
+
+
+def test_nst_bn_loss_decreases(vgg_params, imgs):
+    # with random (non-pretrained) VGG weights the losses are tiny and
+    # torch-semantics L-BFGS moves slowly (curvature pairs near the 1e-10
+    # acceptance threshold) — require monotone descent, not a fixed factor
+    c, s = imgs
+    res = nst(c, s, vgg_params, epochs=20)
+    s_hist = np.asarray(res.s_loss_hist)
+    assert s_hist.shape == (20,)
+    assert np.isfinite(s_hist).all()
+    assert s_hist[-1] < s_hist[0]
+    assert np.all(np.diff(s_hist) <= 1e-12)  # non-increasing
+    assert float(res.x.min()) >= 0.0 and float(res.x.max()) <= 1.0
+
+
+def test_nst_content_clone_init_zero_content_loss(vgg_params, imgs):
+    c, s = imgs
+    res = nst(c, s, vgg_params, epochs=3)
+    # first closure evaluates at x = clamp(content) -> content loss 0
+    assert float(res.c_loss_hist[0]) == 0.0
+
+
+def test_nst_history_snapshots(vgg_params, imgs):
+    c, s = imgs
+    res = nst(c, s, vgg_params, epochs=10, history_every=2)
+    assert res.x_hist.shape == (5, *c.shape)
+    # first snapshot is the (clamped) init = content image
+    np.testing.assert_allclose(np.asarray(res.x_hist[0]), np.asarray(c), atol=1e-6)
+
+
+def test_nst_adam_variant(vgg_params, imgs):
+    c, s = imgs
+    res = nst(c, s, vgg_params, epochs=15, optimizer="adam", lr=0.02)
+    assert float(res.s_loss_hist[-1]) < float(res.s_loss_hist[0])
+
+
+def test_nst_noise_init(vgg_params, imgs):
+    c, s = imgs
+    res = nst(c, s, vgg_params, epochs=3, clone_content=False,
+              noise_key=jax.random.PRNGKey(7))
+    assert float(res.c_loss_hist[0]) > 0.0  # noise init: nonzero content loss
+
+
+def test_nst_batch_jointness(vgg_params, imgs):
+    """The reference optimizes the whole batch jointly with summed loss —
+    adding a second image must not change... the joint loss is shared, so
+    trajectories DO couple through the scalar loss scale; verify instead
+    that per-batch losses are the sum over the batch by construction."""
+    c, s = imgs
+    res2 = nst(c, s, vgg_params, epochs=1)
+    res1a = nst(c[:1], s[:1], vgg_params, epochs=1)
+    res1b = nst(c[1:], s[1:], vgg_params, epochs=1)
+    # BN style loss sums over batch entries (utils.py:354 sums over B and C)
+    assert float(res2.s_loss_hist[0]) == pytest.approx(
+        float(res1a.s_loss_hist[0]) + float(res1b.s_loss_hist[0]), rel=1e-3
+    )

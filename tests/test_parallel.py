@@ -1,0 +1,82 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iris_style_transfer_tpu.models import VGG19
+from iris_style_transfer_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    mlp_tp_spec,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+from iris_style_transfer_tpu.transfer.nst import make_nst_fn
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_sharded_nst_matches_single_device():
+    """The NST program under batch sharding must produce the same result
+    as unsharded execution (same math, XLA inserts the collectives)."""
+    mesh = make_mesh()
+    params = VGG19.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+
+    fn = jax.jit(make_nst_fn(epochs=5))
+    res_single = fn(params, c, s)
+
+    c_sh = jax.device_put(c, batch_sharding(mesh))
+    s_sh = jax.device_put(s, batch_sharding(mesh))
+    params_sh = shard_params(mesh, params)
+    res_sharded = fn(params_sh, c_sh, s_sh)
+
+    np.testing.assert_allclose(
+        np.asarray(res_single.x), np.asarray(res_sharded.x), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_single.s_loss_hist),
+        np.asarray(res_sharded.s_loss_hist),
+        rtol=2e-2,
+    )
+
+
+def test_tensor_parallel_classifier_matches_replicated():
+    from iris_style_transfer_tpu.models import Classifier2
+
+    mesh = make_mesh(model_parallel=2)
+    params = Classifier2.init(jax.random.PRNGKey(1), num_class=10)
+    style = [jnp.asarray(np.random.default_rng(2).random((4, 8, 8, c)), jnp.float32)
+             for c in (64, 128, 256, 512)]
+
+    want = np.asarray(Classifier2.apply(params, style))
+    params_tp = shard_params(mesh, params, mlp_tp_spec(params))
+    style_sh = [jax.device_put(f, batch_sharding(mesh)) for f in style]
+    got = np.asarray(jax.jit(Classifier2.apply)(params_tp, style_sh))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dryrun_multichip():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
