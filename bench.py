@@ -38,8 +38,10 @@ EPOCHS = 100
 def run(fn, params, c, s):
     t0 = time.perf_counter()
     res = fn(params, c, s)
-    jax.block_until_ready(res.x)
-    return time.perf_counter() - t0, res
+    # force real execution with a host readback: on some remote/tunneled
+    # backends block_until_ready returns before the computation runs
+    checksum = float(jnp.sum(res.x[:, ::64, ::64, :]))
+    return time.perf_counter() - t0, res, checksum
 
 
 def main():
@@ -66,12 +68,22 @@ def main():
     times = [run(fn, params, c, s)[0] for c in cs[1:4]]
     t_full = min(times)
     t_quarter = min(run(fn_q, params, c, s)[0] for c in cs[1:3])
+    # physical ceiling check: each closure is >=2.5 TFLOP of VGG compute;
+    # report nothing faster than the chip's peak could deliver
+    peak_flops = 400e12  # generous v5e bf16 ceiling
+    flops_per_step = 2.5e12
+    max_steps_per_sec = peak_flops / flops_per_step
 
     steps_per_sec = EPOCHS / t_full
     # scaling sanity: full epochs should take ~4x the quarter run
     ratio = t_full / max(t_quarter, 1e-9)
     if ratio < 2.0:  # work did not scale -> distrust, report conservative
         steps_per_sec = (EPOCHS // 4) / t_quarter / 4.0
+    if steps_per_sec > max_steps_per_sec:
+        raise SystemExit(
+            f"benchmark implausible ({steps_per_sec:.0f} steps/s > physical "
+            f"ceiling {max_steps_per_sec:.0f}); backend did not execute"
+        )
 
     print(
         json.dumps(
