@@ -19,6 +19,8 @@ from .gaze import (
     GazeEstimator1,
     GazeEstimator2,
     GazeEstimator1Complicated,
+    find_ellipse_features,
+    find_eye_corners,
 )
 from ..ops.ellipse import extract_eye_landmarks
 

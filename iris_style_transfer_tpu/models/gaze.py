@@ -26,6 +26,33 @@ def _normalize(x: jax.Array) -> jax.Array:
     return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
 
+def find_ellipse_features(mask, select_largest: bool = True):
+    """Reference API (``gaze_estimators.py:55-83``): fit an ellipse to a
+    binary mask, returning ``(cx, cy, major_axis, minor_axis, angle)`` or
+    all-None when no valid fit.  Host-convenience wrapper around the
+    jittable :func:`iris_style_transfer_tpu.ops.ellipse.fit_ellipse_mask`
+    (moment-based on the largest component, replacing cv2 contours)."""
+    from ..ops.ellipse import fit_ellipse_mask
+
+    out = fit_ellipse_mask(jnp.asarray(mask).astype(bool), select_largest)
+    cx, cy, major, minor, angle, valid = (float(v) for v in out)
+    if valid == 0.0:
+        return None, None, None, None, None
+    return cx, cy, major, minor, angle
+
+
+def find_eye_corners(mask):
+    """Reference API (``gaze_estimators.py:85-106``): sclera-mask extents
+    ``(left, right, bottom, top)`` or all-None when empty."""
+    from ..ops.ellipse import eye_corners
+
+    out = eye_corners(jnp.asarray(mask).astype(bool))
+    left, right, bottom, top, valid = (float(v) for v in out)
+    if valid == 0.0:
+        return None, None, None, None
+    return int(left), int(right), int(bottom), int(top)
+
+
 def _mlp_init(key, din, hidden, dout, dtype):
     k0, k1, k2 = jax.random.split(key, 3)
     return {

@@ -78,14 +78,17 @@ def convert_ritnet(sd: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def convert_vgg19(sd: dict) -> dict:
-    from .vgg import CONV_NAMES, VGG19_LAYERS
+def convert_vgg19(sd: dict, bn: bool = False) -> dict:
+    from .vgg import CONV_NAMES, VGG19_BN_LAYERS, VGG19_LAYERS
 
     sd = {k.removeprefix("features."): v for k, v in sd.items() if "features." in k or k[0].isdigit()}
+    table = VGG19_BN_LAYERS if bn else VGG19_LAYERS
     params = {}
     for name in CONV_NAMES:
-        idx = VGG19_LAYERS[name]
-        params[name] = _conv(sd, str(idx))
+        params[name] = _conv(sd, str(table[name]))
+        if bn:
+            bn_name = "bn" + name[4:]
+            params[bn_name] = _bn(sd, str(table[bn_name]))
     return params
 
 

@@ -39,29 +39,35 @@ _CFG = [
     512, 512, 512, 512, "M",
 ]
 
-# layer-name -> sequential index table, identical to vgg19_layers
-# (models/vgg/vgg.py:6-10)
+# layer-name -> sequential index tables, identical to vgg19_layers and
+# vgg19_bn_layers (models/vgg/vgg.py:6-17)
 VGG19_LAYERS: dict[str, int] = {}
+VGG19_BN_LAYERS: dict[str, int] = {}
 
 
-def _build_layer_table():
-    idx = 0
+def _build_layer_tables():
+    idx = idx_bn = 0
     block, conv_in_block = 1, 1
     for c in _CFG:
         if c == "M":
             VGG19_LAYERS[f"pool{block}"] = idx
+            VGG19_BN_LAYERS[f"pool{block}"] = idx_bn
             idx += 1
+            idx_bn += 1
             block += 1
             conv_in_block = 1
         else:
             VGG19_LAYERS[f"conv{block}_{conv_in_block}"] = idx
-            idx += 1
-            VGG19_LAYERS[f"relu{block}_{conv_in_block}"] = idx
-            idx += 1
+            VGG19_LAYERS[f"relu{block}_{conv_in_block}"] = idx + 1
+            idx += 2
+            VGG19_BN_LAYERS[f"conv{block}_{conv_in_block}"] = idx_bn
+            VGG19_BN_LAYERS[f"bn{block}_{conv_in_block}"] = idx_bn + 1
+            VGG19_BN_LAYERS[f"relu{block}_{conv_in_block}"] = idx_bn + 2
+            idx_bn += 3
             conv_in_block += 1
 
 
-_build_layer_table()
+_build_layer_tables()
 
 # conv name list in order, used for param naming and torch porting
 CONV_NAMES = [n for n in VGG19_LAYERS if n.startswith("conv")]
@@ -81,23 +87,27 @@ class VGG19:
         self,
         content_layers: Sequence[str] = DEFAULT_CONTENT_LAYERS,
         style_layers: Sequence[str] = DEFAULT_STYLE_LAYERS,
+        bn: bool = False,
         compute_dtype=jnp.float32,
     ):
         self.content_layers = tuple(content_layers)
         self.style_layers = tuple(style_layers)
+        self.bn = bn
         self.compute_dtype = compute_dtype
 
     @staticmethod
-    def init(key: jax.Array, dtype=jnp.float32) -> dict:
+    def init(key: jax.Array, dtype=jnp.float32, bn: bool = False) -> dict:
         """Deterministic seeded init (torch conv defaults); used when
-        pretrained torchvision weights are unavailable (zero egress)."""
+        pretrained torchvision weights are unavailable (zero egress).
+        ``bn=True`` builds the vgg19_bn variant (reference ``vgg.py:38-41``)."""
         params = {}
         cin = 3
         keys = jax.random.split(key, len(CONV_NAMES))
         for k, name in zip(keys, CONV_NAMES):
-            block = int(name[4])
             cout = _CFG_CHANNELS[name]
             params[name] = L.init_conv(k, 3, 3, cin, cout, dtype)
+            if bn:
+                params["bn" + name[4:]] = L.init_batchnorm(cout, dtype)
             cin = cout
         return params
 
@@ -109,6 +119,7 @@ class VGG19:
             content_layers=self.content_layers,
             style_layers=self.style_layers,
             compute_dtype=self.compute_dtype,
+            bn=self.bn,
         )
 
     @staticmethod
@@ -120,16 +131,20 @@ class VGG19:
         style_layers: Sequence[str] = DEFAULT_STYLE_LAYERS,
         compute_dtype=jnp.float32,
         truncate: bool = False,
+        bn: bool = False,
     ):
         """x: (B, H, W, 3) in [0,1].  Returns (final, content_feats,
-        style_feats); taps are the post-ReLU activations, f32.
+        style_feats).  Taps stay in ``compute_dtype`` (losses and style
+        statistics upcast to f32 internally) so bf16 runs don't
+        materialize f32 copies of the large early-layer activations.
 
         ``truncate=True`` stops after the deepest requested tap (the NST
         loop never needs the final features — saves ~30% of the FLOPs;
         ``final`` is then the last computed activation).
         """
         taps_wanted = set(content_layers) | set(style_layers)
-        stop_idx = max(VGG19_LAYERS[n] for n in taps_wanted) if truncate else None
+        table = VGG19_BN_LAYERS if bn else VGG19_LAYERS
+        stop_idx = max(table[n] for n in taps_wanted) if truncate else None
         # normalization inside the model, as the reference (vgg.py:81)
         h = imagenet_normalize(x.astype(jnp.float32))
         if mask is not None:
@@ -148,14 +163,20 @@ class VGG19:
                 conv_in_block = 1
             else:
                 cname = f"conv{block}_{conv_in_block}"
+                bname = f"bn{block}_{conv_in_block}"
                 rname = f"relu{block}_{conv_in_block}"
                 h = L.conv2d(h, params[cname], stride=1, padding=1)
                 if cname in taps_wanted:
-                    taps[cname] = h.astype(jnp.float32)
+                    taps[cname] = h
                 idx += 1
+                if bn:
+                    h = L.batchnorm(h, params[bname])
+                    if bname in taps_wanted:
+                        taps[bname] = h
+                    idx += 1
                 h = jax.nn.relu(h)
                 if rname in taps_wanted:
-                    taps[rname] = h.astype(jnp.float32)
+                    taps[rname] = h
                 idx += 1
                 conv_in_block += 1
 

@@ -48,6 +48,7 @@ def make_nst_fn(
     lr: float = 1.0,
     optimizer: str = "lbfgs",
     history_size: int = 10,
+    lbfgs_method: str = "compact",
     history_every: int = 0,
     content_layers: Sequence[str] = ("relu4_2",),
     style_layers: Sequence[str] = ("relu1_1", "relu2_1", "relu3_1", "relu4_1"),
@@ -123,7 +124,7 @@ def make_nst_fn(
             (_, (c_loss, s_loss)), g = grad_fn(x)
             g_flat = g.reshape(-1)
             if optimizer == "lbfgs":
-                update, opt_state = lbfgs_step(opt_state, g_flat, lr)
+                update, opt_state = lbfgs_step(opt_state, g_flat, lr, method=lbfgs_method)
             else:
                 m, v = opt_state
                 t = i.astype(jnp.float32) + 1.0

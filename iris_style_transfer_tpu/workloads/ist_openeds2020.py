@@ -36,9 +36,14 @@ from ..transfer.nst import make_nst_fn
 from ..utils import prepare_dir, seed as seed_all
 
 
-def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype):
+def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, seg_chunk: int = 8):
+    """Full-resolution segmentation/gaze run as one jitted program applied
+    in chunks (EfficientNet-B7 + ResNet50 at 400x640 hold too much
+    activation memory for a 128-image batch on one chip); the NST scan runs
+    on the full 224^2 batch."""
+
     @jax.jit
-    def pre_fn(eff_params, g1_params, g2_params, c_imgs):
+    def _pre_chunk(eff_params, g1_params, g2_params, c_imgs):
         segs = EfficientNet.apply(eff_params, c_imgs)
         preds1 = GazeEstimator1.apply(g1_params, segs, extract_feature=True)
         preds2 = GazeEstimator2.apply(
@@ -46,6 +51,13 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype):
         )
         irises, masks, bboxes = extract_iris_batch(c_imgs, segs, glint)
         return segs, preds1, preds2, irises, masks, bboxes
+
+    def pre_fn(eff_params, g1_params, g2_params, c_imgs):
+        outs = [
+            _pre_chunk(eff_params, g1_params, g2_params, c_imgs[i : i + seg_chunk])
+            for i in range(0, c_imgs.shape[0], seg_chunk)
+        ]
+        return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
     nst_fn = jax.jit(
         make_nst_fn(
@@ -55,7 +67,7 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype):
     )
 
     @jax.jit
-    def post_fn(eff_params, g1_params, g2_params, frames, stylized, masks, bboxes):
+    def _post_chunk(eff_params, g1_params, g2_params, frames, stylized, masks, bboxes):
         new_frames = composite_batch(frames, stylized, masks, bboxes)
         segs = EfficientNet.apply(eff_params, new_frames)
         preds1 = GazeEstimator1.apply(g1_params, segs, extract_feature=True)
@@ -63,6 +75,17 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype):
             g2_params, gray_to_rgb(new_frames), extract_feature=True
         )
         return new_frames, preds1, preds2
+
+    def post_fn(eff_params, g1_params, g2_params, frames, stylized, masks, bboxes):
+        outs = [
+            _post_chunk(
+                eff_params, g1_params, g2_params,
+                frames[i : i + seg_chunk], stylized[i : i + seg_chunk],
+                masks[i : i + seg_chunk], bboxes[i : i + seg_chunk],
+            )
+            for i in range(0, frames.shape[0], seg_chunk)
+        ]
+        return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
     return pre_fn, nst_fn, post_fn
 

@@ -1,0 +1,39 @@
+"""Compact-representation L-BFGS must equal the two-loop recursion."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from iris_style_transfer_tpu.transfer.lbfgs import lbfgs_init, lbfgs_step
+
+
+def _run(loss_j, x0, n_evals, method, history_size=6):
+    grad_fn = jax.grad(loss_j)
+    x = jnp.asarray(x0)
+    state = lbfgs_init(x.size, history_size)
+    traj = []
+    for _ in range(n_evals):
+        traj.append(np.asarray(x))
+        g = grad_fn(x)
+        upd, state = lbfgs_step(state, g.reshape(-1), 1.0, method=method)
+        x = x + upd.reshape(x.shape)
+    return np.asarray(traj)
+
+
+def test_compact_equals_two_loop():
+    rng = np.random.default_rng(0)
+    n = 20
+    M = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(M @ M.T + np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def loss(x):
+        return 0.5 * x @ A @ x - b @ x + 0.1 * jnp.sum(x**4)  # non-quadratic
+
+    x0 = rng.standard_normal(n).astype(np.float32)
+    # run past the history size so the circular buffer wraps
+    t_two = _run(loss, x0, 25, "two_loop")
+    t_cmp = _run(loss, x0, 25, "compact")
+    scale = np.abs(t_two).max()
+    np.testing.assert_allclose(t_cmp, t_two, atol=2e-3 * scale)
