@@ -2,5 +2,12 @@
 
 from .config import WorkloadConfig, add_common_args
 from .logging import MetricLogger
-from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+    latest_step,
+    save_state,
+    restore_state,
+    latest_state_step,
+)
 from .profiler import StepTimer, trace

@@ -58,3 +58,44 @@ def restore_checkpoint(ckpt_dir: str, step: int | None = None) -> tuple[int, dic
     with np.load(_npz_path(ckpt_dir, step)) as f:
         flat = {k: f[k] for k in f.files}
     return step, unflatten_pytree(flat)
+
+
+# ---------------------------------------------------------------------------
+# arbitrary pytrees (optimizer states contain namedtuples, not just dicts):
+# leaves are stored positionally; restore needs a structurally-identical
+# template (e.g. a freshly-initialized state).
+# ---------------------------------------------------------------------------
+
+
+def save_state(ckpt_dir: str, step: int, state) -> str:
+    """Save any pytree (params + optimizer state + counters) at ``step``."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
+    path = os.path.join(ckpt_dir, f"state_{step:08d}.npz")
+    np.savez(path, **{f"leaf_{i:05d}": a for i, a in enumerate(leaves)})
+    return path
+
+
+def latest_state_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(m.group(1))
+        for f in os.listdir(ckpt_dir)
+        if (m := re.match(r"state_(\d+)\.npz$", f))
+    ]
+    return max(steps) if steps else None
+
+
+def restore_state(ckpt_dir: str, template, step: int | None = None):
+    """Restore a pytree saved by :func:`save_state` into ``template``'s
+    structure; returns (step, state) or None."""
+    if step is None:
+        step = latest_state_step(ckpt_dir)
+        if step is None:
+            return None
+    path = os.path.join(ckpt_dir, f"state_{step:08d}.npz")
+    with np.load(path) as f:
+        leaves = [f[k] for k in sorted(f.files)]
+    treedef = jax.tree.structure(template)
+    return step, jax.tree.unflatten(treedef, leaves)

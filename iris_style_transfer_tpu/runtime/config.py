@@ -39,6 +39,7 @@ class WorkloadConfig:
     model_parallel: int = 1
     compute_dtype: str = "bfloat16"
     data_dir: str = "../data"
+    resume: bool = False
     name: str = ""
 
     def to_dict(self) -> dict:
@@ -71,6 +72,7 @@ def add_common_args(parser: argparse.ArgumentParser, defaults: WorkloadConfig) -
     p.add_argument("--model_parallel", type=int, default=defaults.model_parallel)
     p.add_argument("--compute_dtype", type=str, default=defaults.compute_dtype)
     p.add_argument("--data_dir", type=str, default=defaults.data_dir)
+    p.add_argument("--resume", action=argparse.BooleanOptionalAction, default=defaults.resume)
 
 
 def parse_config(parser: argparse.ArgumentParser, defaults: WorkloadConfig) -> WorkloadConfig:

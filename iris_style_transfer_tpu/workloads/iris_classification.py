@@ -30,7 +30,7 @@ from ..models import Classifier1, Classifier2, RITnet, VGG19
 from ..ops.image import gray_to_rgb
 from ..ops.metrics import classification_metrics, cross_entropy
 from ..parallel import batch_sharding, make_mesh, mlp_tp_spec, replicated, shard_params
-from ..runtime import MetricLogger, StepTimer, save_checkpoint
+from ..runtime import MetricLogger, StepTimer, restore_state, save_checkpoint, save_state
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..utils import seed as seed_all
 
@@ -115,11 +115,22 @@ def iris_classification(cfg: WorkloadConfig) -> dict:
     opt_state = optimizer.init(train_params)
     train_step, eval_step = make_train_step(cfg.freeze_vgg, optimizer, compute_dtype)
 
+    # resumable training (the reference is save-only, SURVEY §5.3-5.4)
+    ckpt_dir = "saved/checkpoints/iris_classification"
+    start_epoch = 0
+    if cfg.resume:
+        restored = restore_state(ckpt_dir, (train_params, opt_state, jnp.int32(0)))
+        if restored is not None:
+            start_epoch, (train_params, opt_state, _) = restored
+            train_params = jax.tree.map(jnp.asarray, train_params)
+            opt_state = jax.tree.map(jnp.asarray, opt_state)
+            print(f"resumed from epoch {start_epoch}")
+
     logger = MetricLogger(cfg.project, cfg.name or f"seed {cfg.seed}", cfg.to_dict())
     timer = StepTimer()
     final_metrics = {}
 
-    for e in range(cfg.epochs):
+    for e in range(start_epoch, cfg.epochs):
         preds1, preds2, labels = [], [], []
         it = batch_iterator((tr_x, tr_y), cfg.bs, shuffle=True, seed=cfg.seed + e, drop_remainder=True)
         for bi, (x, y) in enumerate(prefetch_to_device(it, mesh=mesh)):
@@ -152,17 +163,17 @@ def iris_classification(cfg: WorkloadConfig) -> dict:
         logger.log(log)
         final_metrics = log
 
-        # checkpoint under the reference's conditions (:111-113)
+        # checkpoint under the reference's conditions (:111-113), plus the
+        # full optimizer state for resume
         if (
             cfg.save_period > 0
             and cfg.rotation_prob == cfg.perspect_prob == 0
             and (e + 1) % cfg.save_period == 0
         ):
             save_checkpoint(
-                "saved/checkpoints/iris_classification",
-                e + 1,
-                {"params": train_params, "step": jnp.asarray(e + 1)},
+                ckpt_dir, e + 1, {"params": train_params, "step": jnp.asarray(e + 1)}
             )
+            save_state(ckpt_dir, e + 1, (train_params, opt_state, jnp.int32(e + 1)))
 
     logger.finish()
     return {k: float(v) for k, v in final_metrics.items()}

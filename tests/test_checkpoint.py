@@ -1,0 +1,52 @@
+"""Checkpoint save/restore incl. optimizer-state pytrees with namedtuples."""
+
+import numpy as np
+import optax
+
+import jax
+import jax.numpy as jnp
+
+from iris_style_transfer_tpu.runtime.checkpoint import (
+    latest_state_step,
+    latest_step,
+    restore_checkpoint,
+    restore_state,
+    save_checkpoint,
+    save_state,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    d = str(tmp_path)
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}, "step": jnp.int32(7)}
+    save_checkpoint(d, 7, state)
+    save_checkpoint(d, 14, state)
+    assert latest_step(d) == 14
+    step, back = restore_checkpoint(d)
+    assert step == 14
+    np.testing.assert_array_equal(back["params"]["w"], np.arange(6.0).reshape(2, 3))
+
+
+def test_optimizer_state_roundtrip(tmp_path):
+    d = str(tmp_path)
+    params = {"fc": {"w": jnp.ones((4, 3)), "b": jnp.zeros(3)}}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    # take one step so the state is non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    save_state(d, 3, (params, opt_state, jnp.int32(3)))
+    assert latest_state_step(d) == 3
+    template = (jax.tree.map(jnp.zeros_like, params), opt.init(params), jnp.int32(0))
+    step, (p2, o2, s2) = restore_state(d, template)
+    assert step == 3 and int(s2) == 3
+    np.testing.assert_allclose(np.asarray(p2["fc"]["w"]), np.asarray(params["fc"]["w"]))
+    for a, b in zip(jax.tree.leaves(o2), jax.tree.leaves(opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_missing_returns_none(tmp_path):
+    assert restore_checkpoint(str(tmp_path / "nope")) is None
+    assert restore_state(str(tmp_path / "nope"), {"a": jnp.zeros(1)}) is None
