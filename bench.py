@@ -57,9 +57,9 @@ def main():
     s = jax.random.uniform(jax.random.fold_in(key, 2), (BATCH, SIZE, SIZE, 3))
     jax.block_until_ready((cs, s))
 
-    fn = jax.jit(make_nst_fn(epochs=EPOCHS, compute_dtype=jnp.bfloat16, history_size=10))
+    fn = jax.jit(make_nst_fn(epochs=EPOCHS, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=2))
     fn_q = jax.jit(
-        make_nst_fn(epochs=EPOCHS // 4, compute_dtype=jnp.bfloat16, history_size=10)
+        make_nst_fn(epochs=EPOCHS // 4, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=2)
     )
 
     run(fn, params, cs[0], s)  # compile + warmup

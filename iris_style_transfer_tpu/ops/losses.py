@@ -44,14 +44,16 @@ def style_loss_gram(
     preds: Sequence[jax.Array],
     target_grams: Sequence[jax.Array],
     weights: Sequence[float] | None = None,
+    gram_fn=gram_matrix,
 ) -> jax.Array:
     """0.25 * sum_i w_i * sum((G(p_i) - G_t_i)^2); reference
     ``utils.py:308-322``.  ``target_grams`` are precomputed via
-    :func:`gram_matrix` (batched convention)."""
+    :func:`gram_matrix` (batched convention).  ``gram_fn`` lets callers
+    substitute the Pallas blockwise kernel for large spatial extents."""
     ws = _weights(weights, len(target_grams))
     loss = jnp.float32(0.0)
     for p, gt, w in zip(preds, target_grams, ws):
-        g = gram_matrix(p).astype(jnp.float32)
+        g = gram_fn(p).astype(jnp.float32)
         d = g - gt.astype(jnp.float32)
         loss = loss + jnp.sum(d * d) * w
     return loss * 0.25

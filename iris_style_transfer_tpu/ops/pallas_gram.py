@@ -43,7 +43,9 @@ def _gram_kernel(x_ref, o_ref, acc_ref, *, n_norm: float):
         o_ref[0] = acc_ref[:] * (1.0 / n_norm)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_hw", "batched_norm", "interpret"))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(1, 2, 3)
+)
 def gram_matrix_pallas(
     x: jax.Array,
     tile_hw: int = 2048,
@@ -51,7 +53,35 @@ def gram_matrix_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Gram of (B, H, W, C) -> (B, C, C), f32; same convention as
-    :func:`iris_style_transfer_tpu.ops.gram.gram_matrix`."""
+    :func:`iris_style_transfer_tpu.ops.gram.gram_matrix`.  Differentiable:
+    the VJP of G = X'X/n is dX = X (Gbar + Gbar') / n (one batched matmul).
+    """
+    return _gram_pallas_impl(x, tile_hw, batched_norm, interpret)
+
+
+def _gram_fwd(x, tile_hw, batched_norm, interpret):
+    return _gram_pallas_impl(x, tile_hw, batched_norm, interpret), x
+
+
+def _gram_bwd(tile_hw, batched_norm, interpret, x, g_bar):
+    b, h, w, c = x.shape
+    n_norm = float(c * h * w if batched_norm else h * w)
+    sym = (g_bar + jnp.swapaxes(g_bar, -1, -2)) / n_norm
+    flat = x.reshape(b, h * w, c).astype(jnp.float32)
+    dx = jnp.einsum("bnc,bcd->bnd", flat, sym).astype(x.dtype)
+    return (dx.reshape(x.shape),)
+
+
+gram_matrix_pallas.defvjp(_gram_fwd, _gram_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_hw", "batched_norm", "interpret"))
+def _gram_pallas_impl(
+    x: jax.Array,
+    tile_hw: int = 2048,
+    batched_norm: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
     b, h, w, c = x.shape
     hw = h * w
     tile = min(tile_hw, hw)

@@ -49,6 +49,8 @@ def make_nst_fn(
     optimizer: str = "lbfgs",
     history_size: int = 10,
     lbfgs_method: str = "compact",
+    pallas_gram: bool = False,
+    scan_unroll: int = 1,
     history_every: int = 0,
     content_layers: Sequence[str] = ("relu4_2",),
     style_layers: Sequence[str] = ("relu1_1", "relu2_1", "relu3_1", "relu4_1"),
@@ -91,7 +93,12 @@ def make_nst_fn(
             if bn_loss:
                 s_loss = style_loss_bn(x_s, s_targets)
             else:
-                s_loss = style_loss_gram(x_s, s_targets)
+                if pallas_gram:
+                    from ..ops.pallas_gram import gram_matrix_pallas
+
+                    s_loss = style_loss_gram(x_s, s_targets, gram_fn=gram_matrix_pallas)
+                else:
+                    s_loss = style_loss_gram(x_s, s_targets)
             return c_loss * c_loss_weight + s_loss * s_loss_weight, (c_loss, s_loss)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -148,7 +155,7 @@ def make_nst_fn(
             return (x, opt_state, snaps), (c_loss, s_loss)
 
         (x, _, snaps), (c_hist, s_hist) = jax.lax.scan(
-            step, (x0, opt_state0, snaps0), jnp.arange(epochs)
+            step, (x0, opt_state0, snaps0), jnp.arange(epochs), unroll=scan_unroll
         )
         x = jnp.clip(x, 0.0, 1.0)  # final clamp (pipelines.py:108-109)
         return NSTResult(x, c_hist, s_hist, snaps if n_snaps else None)

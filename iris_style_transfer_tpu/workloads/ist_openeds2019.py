@@ -53,6 +53,7 @@ def make_programs(num_class: int, nst_epochs: int, c_w: float, s_w: float, compu
             c_loss_weight=c_w,
             s_loss_weight=s_w,
             compute_dtype=compute_dtype,
+            scan_unroll=2,
         )
     )
 

@@ -62,7 +62,7 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, seg_chunk: int = 8
     nst_fn = jax.jit(
         make_nst_fn(
             epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, scan_unroll=2,
         )
     )
 

@@ -1,0 +1,98 @@
+"""Loader semantics vs the reference: split rules, label accumulation,
+mapping-key typo, test-set label tolerance — on a fake on-disk dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from iris_style_transfer_tpu.data.openeds2019 import MAPPING_KEY, load_data_openeds2019
+from iris_style_transfer_tpu.data.openeds2020 import load_data_openeds2020
+from iris_style_transfer_tpu.utils import seed as seed_all
+
+
+@pytest.fixture()
+def fake_openeds2019(tmp_path):
+    rng = np.random.default_rng(0)
+    base = tmp_path / "openeds2019"
+    img_dirs, json_paths, seg_dirs = [], [], []
+    # two "splits", each with users; user B has only 2 images (skipped)
+    specs = [
+        ("train", {"userA": 5, "userB": 2, "userC": 4}),
+        ("validation", {"userD": 5}),
+    ]
+    for split, users in specs:
+        d = base / "Semantic_Segmentation_Dataset" / split
+        (d / "images").mkdir(parents=True)
+        (d / "labels").mkdir(parents=True)
+        mapping = []
+        for user, n in users.items():
+            names = [f"{user}_{i}.png" for i in range(n)]
+            mapping.append({"id": user, MAPPING_KEY: names})
+            for name in names:
+                arr = rng.integers(0, 255, (40, 60), dtype=np.uint8)
+                Image.fromarray(arr, "L").save(d / "images" / name)
+                np.save(d / "labels" / (name[:-4] + ".npy"), rng.integers(0, 4, (40, 60)))
+        jp = base / f"OpenEDS_{split}_userID_mapping_to_images.json"
+        jp.write_text(json.dumps(mapping))
+        img_dirs.append(str(d / "images"))
+        seg_dirs.append(str(d / "labels"))
+        json_paths.append(str(jp))
+    return img_dirs, json_paths, seg_dirs
+
+
+def test_load_openeds2019_split_semantics(fake_openeds2019):
+    img_dirs, json_paths, seg_dirs = fake_openeds2019
+    seed_all(42, verbose=False)
+    tr_x, tr_y, tr_m, te_x, te_y, te_m, nc = load_data_openeds2019(
+        0.2, load_seg=True, image_paths=img_dirs, json_paths=json_paths, seg_paths=seg_dirs
+    )
+    # userB (2 images) skipped -> 3 classes, accumulated across splits (:316)
+    assert nc == 3
+    # all of userB's images excluded
+    assert len(tr_x) + len(te_x) == 5 + 4 + 5
+    # per-user ~20% test split: 5 -> 1 test, 4 -> 1 test
+    assert len(te_x) == 3 and len(tr_x) == 11
+    # labels are contiguous class ids
+    assert set(tr_y) | set(te_y) == {0, 1, 2}
+    # images float [0,1] with channel dim; seg labels loaded
+    assert tr_x[0].shape == (40, 60, 1) and tr_x[0].dtype == np.float32
+    assert 0.0 <= tr_x[0].min() and tr_x[0].max() <= 1.0
+    assert tr_m[0].shape == (40, 60)
+
+
+@pytest.fixture()
+def fake_openeds2020(tmp_path):
+    rng = np.random.default_rng(1)
+    base = tmp_path / "gaze"
+    for split, extra_labels in (("validation", 0), ("test", 5)):
+        for seq in ("0001", "0002"):
+            sd = base / split / "sequences" / seq
+            sd.mkdir(parents=True)
+            n = 4
+            for i in range(n):
+                arr = rng.integers(0, 255, (40, 64), dtype=np.uint8)
+                Image.fromarray(arr, "L").save(sd / f"{i:03d}.png")
+            ld = base / split / "labels"
+            ld.mkdir(parents=True, exist_ok=True)
+            rows = [
+                f"{i},{rng.random():.4f},{rng.random():.4f},{rng.random():.4f}"
+                for i in range(n + extra_labels)
+            ]
+            (ld / f"{seq}.txt").write_text("\n".join(rows))
+    return str(base) + "/"
+
+
+def test_load_openeds2020_semantics(fake_openeds2020):
+    imgs, labels = load_data_openeds2020(
+        extract_feature=False, data_path=fake_openeds2020, postfix="validation/"
+    )
+    assert imgs.shape == (8, 40, 64, 1)
+    assert labels.shape == (8, 3)  # index column dropped
+    # test split: label files 5 rows longer are tolerated and truncated (:399)
+    imgs_t, labels_t = load_data_openeds2020(
+        extract_feature=False, data_path=fake_openeds2020, postfix="test/"
+    )
+    assert imgs_t.shape[0] == 8 and labels_t.shape == (8, 3)
