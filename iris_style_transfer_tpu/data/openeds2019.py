@@ -39,7 +39,6 @@ from ..ops.image import (
     perspective_warp,
     random_perspective_params,
     random_rotation_params,
-    resize_bilinear,
     rotate,
 )
 from ..ops.metrics import iou_per_class

@@ -39,7 +39,6 @@ def load_data_openeds2020(
     from PIL import Image
 
     from ..models.efficientnet import EfficientNet
-    from ..models.gaze import GazeEstimator1  # noqa: F401 (landmark path below)
     from ..models.resnet import ResNet50
     from ..ops.ellipse import extract_eye_landmarks
 

@@ -18,8 +18,6 @@ internally, exactly like the reference's uint8 round trip).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

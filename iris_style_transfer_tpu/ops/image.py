@@ -17,9 +17,6 @@ CLI surface converts from/to the reference's NCHW at the boundary.
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -15,11 +15,9 @@ commented-out call sites (``pipelines.py:155``).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from ..models.ritnet import RITnet
 from ..ops.connected import area_opening as _area_opening

@@ -2,8 +2,9 @@
 
 The reference only saves weights (``torch.save(state_dict)`` every
 ``save_period`` epochs, ``iris_classification.py:111-113``) with no resume.
-Here checkpoints carry the full training state (orbax when available, npz
-fallback) and ``restore_checkpoint``/``latest_step`` make sweeps resumable
+Here checkpoints carry the full training state — params, optimizer state
+and step — as dependency-free npz files, and ``restore_checkpoint`` /
+``restore_state`` / ``latest_step`` make sweeps resumable
 (SURVEY.md §5.3-5.4).
 """
 
@@ -16,13 +17,6 @@ import jax
 import numpy as np
 
 from ..models.port import flatten_pytree, unflatten_pytree
-
-try:  # orbax is the preferred backend
-    import orbax.checkpoint as ocp
-
-    _HAS_ORBAX = True
-except Exception:  # pragma: no cover
-    _HAS_ORBAX = False
 
 
 def _npz_path(ckpt_dir: str, step: int) -> str:

@@ -29,7 +29,7 @@ from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19
 from ..ops.image import gray_to_rgb
 from ..ops.metrics import classification_metrics, cross_entropy
-from ..parallel import batch_sharding, make_mesh, mlp_tp_spec, replicated, shard_params
+from ..parallel import make_mesh, mlp_tp_spec, shard_params
 from ..runtime import MetricLogger, StepTimer, restore_state, save_checkpoint, save_state
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..utils import seed as seed_all

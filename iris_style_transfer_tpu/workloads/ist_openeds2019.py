@@ -18,7 +18,6 @@ jitted programs with zero per-image host work, batch-sharded over the mesh.
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 
 import jax
@@ -30,7 +29,6 @@ from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19
 from ..ops.image import crop_and_resize, gray_to_rgb
 from ..ops.metrics import classification_metrics, iou_per_class
-from ..parallel import make_mesh
 from ..pipelines import composite_batch
 from ..runtime import MetricLogger, StepTimer, restore_checkpoint
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config

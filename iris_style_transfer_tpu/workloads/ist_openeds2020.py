@@ -27,7 +27,7 @@ import numpy as np
 from ..data import batch_iterator, synthetic_eye_batch
 from ..data.openeds2020 import load_data_openeds2020
 from ..models import EfficientNet, GazeEstimator1, GazeEstimator2, ResNet50, VGG19
-from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox, resize_bilinear
+from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox
 from ..ops.metrics import angular_distance
 from ..pipelines import composite_batch, extract_iris_batch
 from ..runtime import MetricLogger, StepTimer, restore_checkpoint
