@@ -114,6 +114,14 @@ def batchnorm_train(
 
 def max_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
     stride = stride or window
+    if stride == window and x.shape[1] % window == 0 and x.shape[2] % window == 0:
+        # non-overlapping pooling as reshape+max: its VJP is an elementwise
+        # compare/select instead of reduce_window's SelectAndScatter, which
+        # dominates backward time on TPU (the VGG NST closure spends more
+        # in pool gradients than in all the convs without this)
+        b, h, w, c = x.shape
+        xr = x.reshape(b, h // window, window, w // window, window, c)
+        return jnp.max(xr, axis=(2, 4))
     return jax.lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
