@@ -24,6 +24,7 @@ reference, not the same streams.
 from __future__ import annotations
 
 import json
+import math
 import os
 import random
 from dataclasses import dataclass
@@ -46,6 +47,18 @@ from ..pipelines.iris import iris_mask_from_seg
 from .native_loader import decode_gray_batch
 
 MAPPING_KEY = "semantic_segmenation_images"  # dataset's own typo (:308)
+
+
+def _test_split_size(n: int, test_ratio: float) -> int:
+    """Per-user test-set size with ``torch.utils.data.random_split``'s
+    fractional semantics (reference ``data_preprocessing.py:312``:
+    ``random_split(imgs, [1 - r, r])`` floors each fraction and hands the
+    remainder out round-robin starting with the train part) — e.g. 9
+    images at r=0.2 give 1 test image, not ``round(1.8) = 2``."""
+    lengths = [math.floor(n * (1.0 - test_ratio)), math.floor(n * test_ratio)]
+    for i in range(n - sum(lengths)):
+        lengths[i % 2] += 1
+    return lengths[1]
 
 
 def load_data_openeds2019(
@@ -82,7 +95,7 @@ def load_data_openeds2019(
             imgs = m[MAPPING_KEY]
             if len(imgs) <= 2:  # skip users with too few samples (:309)
                 continue
-            n_test = int(round(len(imgs) * test_split_ratio))
+            n_test = _test_split_size(len(imgs), test_split_ratio)
             test_idx = set(random.sample(range(len(imgs)), n_test))
             for i, name in enumerate(imgs):
                 img_class[name] = class_count

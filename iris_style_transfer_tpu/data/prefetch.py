@@ -66,12 +66,15 @@ def prefetch_to_device(iterator, size: int = 2, mesh=None):
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
             q.put(_END)
+        except BaseException as e:  # surface staging errors to the consumer
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -5,6 +5,8 @@ from .logging import MetricLogger
 from .checkpoint import (
     save_checkpoint,
     restore_checkpoint,
+    restore_checkpoint_file,
+    restore_params,
     latest_step,
     save_state,
     restore_state,

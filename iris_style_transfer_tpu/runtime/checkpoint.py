@@ -54,6 +54,34 @@ def restore_checkpoint(ckpt_dir: str, step: int | None = None) -> tuple[int, dic
     return step, unflatten_pytree(flat)
 
 
+def restore_checkpoint_file(path: str) -> tuple[int, dict]:
+    """Restore the *exact* checkpoint file named.
+
+    The reference loads precisely the epoch file passed on the CLI
+    (``iris_style_transfer_openeds2019.py:235-239``) — not the newest file
+    in its directory.  The step is parsed from the filename when present.
+    """
+    m = re.search(r"step_(\d+)\.npz$", os.path.basename(path))
+    with np.load(path) as f:
+        flat = {k: f[k] for k in f.files}
+    return (int(m.group(1)) if m else 0), unflatten_pytree(flat)
+
+
+def restore_params(path: str | None, default=None):
+    """Params from a checkpoint path with reference-faithful semantics:
+    an exact file loads that file; a directory loads its latest step; an
+    empty path returns ``default``; a named-but-missing path raises (the
+    reference's ``torch.load`` would too)."""
+    if not path:
+        return default
+    if os.path.isfile(path):
+        return restore_checkpoint_file(path)[1]["params"]
+    res = restore_checkpoint(path)
+    if res is None:
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    return res[1]["params"]
+
+
 # ---------------------------------------------------------------------------
 # arbitrary pytrees (optimizer states contain namedtuples, not just dicts):
 # leaves are stored positionally; restore needs a structurally-identical

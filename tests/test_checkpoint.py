@@ -6,10 +6,14 @@ import optax
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from iris_style_transfer_tpu.runtime.checkpoint import (
     latest_state_step,
     latest_step,
     restore_checkpoint,
+    restore_checkpoint_file,
+    restore_params,
     restore_state,
     save_checkpoint,
     save_state,
@@ -45,6 +49,28 @@ def test_optimizer_state_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(p2["fc"]["w"]), np.asarray(params["fc"]["w"]))
     for a, b in zip(jax.tree.leaves(o2), jax.tree.leaves(opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_exact_file_not_latest(tmp_path):
+    """restore_checkpoint_file / restore_params honor the *named* file even
+    when a newer checkpoint exists in the same directory (the reference
+    loads the precise epoch file it is given,
+    iris_style_transfer_openeds2019.py:235-239)."""
+    d = str(tmp_path)
+    old = save_checkpoint(d, 7, {"params": {"w": jnp.full((2,), 7.0)}})
+    save_checkpoint(d, 14, {"params": {"w": jnp.full((2,), 14.0)}})
+
+    step, state = restore_checkpoint_file(old)
+    assert step == 7
+    np.testing.assert_array_equal(state["params"]["w"], np.full((2,), 7.0))
+
+    np.testing.assert_array_equal(restore_params(old)["w"], np.full((2,), 7.0))
+    # a directory still means "latest"
+    np.testing.assert_array_equal(restore_params(d)["w"], np.full((2,), 14.0))
+    # empty path -> default; named-but-missing path -> error
+    assert restore_params("", default="dflt") == "dflt"
+    with pytest.raises(FileNotFoundError):
+        restore_params(str(tmp_path / "missing.npz"))
 
 
 def test_restore_missing_returns_none(tmp_path):

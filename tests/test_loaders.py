@@ -8,7 +8,11 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from iris_style_transfer_tpu.data.openeds2019 import MAPPING_KEY, load_data_openeds2019
+from iris_style_transfer_tpu.data.openeds2019 import (
+    MAPPING_KEY,
+    _test_split_size,
+    load_data_openeds2019,
+)
 from iris_style_transfer_tpu.data.openeds2020 import load_data_openeds2020
 from iris_style_transfer_tpu.utils import seed as seed_all
 
@@ -53,14 +57,27 @@ def test_load_openeds2019_split_semantics(fake_openeds2019):
     assert nc == 3
     # all of userB's images excluded
     assert len(tr_x) + len(te_x) == 5 + 4 + 5
-    # per-user ~20% test split: 5 -> 1 test, 4 -> 1 test
-    assert len(te_x) == 3 and len(tr_x) == 11
+    # per-user 20% test split with torch random_split sizing: 5 -> 1 test,
+    # 4 -> 0 test (floor(0.8) = 0, remainder goes to train first)
+    assert len(te_x) == 2 and len(tr_x) == 12
     # labels are contiguous class ids
     assert set(tr_y) | set(te_y) == {0, 1, 2}
     # images float [0,1] with channel dim; seg labels loaded
     assert tr_x[0].shape == (40, 60, 1) and tr_x[0].dtype == np.float32
     assert 0.0 <= tr_x[0].min() and tr_x[0].max() <= 1.0
     assert tr_m[0].shape == (40, 60)
+
+
+@pytest.mark.filterwarnings("ignore:Length of split at index")
+def test_split_sizes_match_torch_random_split():
+    """Per-user split sizes must match torch.utils.data.random_split's
+    fractional flooring + round-robin remainder (data_preprocessing.py:312)."""
+    import torch
+
+    for n in range(3, 40):
+        for ratio in (0.1, 0.2, 0.25, 0.3, 0.5):
+            tr, te = torch.utils.data.random_split(list(range(n)), [1 - ratio, ratio])
+            assert _test_split_size(n, ratio) == len(te), (n, ratio)
 
 
 @pytest.fixture()
