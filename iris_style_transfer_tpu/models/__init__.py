@@ -23,6 +23,7 @@ from .gaze import (
     find_eye_corners,
 )
 from ..ops.ellipse import extract_eye_landmarks
+from .pretrained import load_pretrained, pretrained_path
 
 # reference spelling alias (models/__init__.py:6)
 GazeEstimator1_complicated = GazeEstimator1Complicated

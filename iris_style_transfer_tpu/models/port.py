@@ -203,11 +203,17 @@ def convert_gaze_estimator(sd: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def flatten_pytree(params: dict, prefix: str = "") -> dict[str, np.ndarray]:
+def flatten_pytree(params, prefix: str = "") -> dict[str, np.ndarray]:
+    """Flatten nested dicts/lists to '/'-joined keys.  List entries become
+    all-digit key segments (ResNet/EfficientNet params keep their stages as
+    lists) and are restored as lists by :func:`unflatten_pytree`."""
     flat = {}
-    for k, v in params.items():
-        key = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
+    items = (
+        enumerate(params) if isinstance(params, (list, tuple)) else params.items()
+    )
+    for k, v in items:
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, (dict, list, tuple)):
             flat.update(flatten_pytree(v, key))
         else:
             flat[key] = np.asarray(v)
@@ -222,7 +228,15 @@ def unflatten_pytree(flat: dict) -> dict:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
-    return tree
+
+    def _listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(key.isdigit() for key in node):
+            return [_listify(node[key]) for key in sorted(node, key=int)]
+        return {k: _listify(v) for k, v in node.items()}
+
+    return _listify(tree)
 
 
 def save_npz(path: str, params: dict) -> None:
