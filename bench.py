@@ -85,6 +85,41 @@ def main():
             f"ceiling {max_steps_per_sec:.0f}); backend did not execute"
         )
 
+    # secondary configs (VERDICT r1 weak #9): the Gram-loss 512px path (the
+    # memory-bound case the Pallas kernel targets, win/loss recorded) and
+    # the production IST config (64, 224, 224, 3).  Failures here never
+    # break the primary metric line.
+    extra = {}
+    try:
+        g_epochs = 40
+        for label, pg in (("gram_512px_bs4_steps_per_sec", "auto"),
+                          ("gram_512px_bs4_steps_per_sec_xla", False)):
+            gfn = jax.jit(make_nst_fn(
+                epochs=g_epochs, bn_loss=False, pallas_gram=pg,
+                compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=2,
+            ))
+            run(gfn, params, cs[0], s)  # compile + warmup
+            t = min(run(gfn, params, c, s)[0] for c in cs[1:3])
+            extra[label] = round(g_epochs / t, 2)
+
+        ist_bs, ist_size, ist_epochs = 64, 224, 50
+        ci = jax.random.uniform(jax.random.fold_in(key, 30), (ist_bs, ist_size, ist_size, 3))
+        si = jax.random.uniform(jax.random.fold_in(key, 31), (ist_bs, ist_size, ist_size, 3))
+        ifn = jax.jit(make_nst_fn(
+            epochs=ist_epochs, compute_dtype=jnp.bfloat16, history_size=10,
+            scan_unroll=2,
+        ))
+        run(ifn, params, ci, si)  # compile + warmup
+        ci2 = jax.random.uniform(jax.random.fold_in(key, 32), ci.shape)
+        t_ist, _, _ = run(ifn, params, ci2, si)
+        # a production batch runs 200 closure evals (reference
+        # iris_style_transfer_openeds2019.py:245)
+        extra["ist_224px_bs64_images_per_min"] = round(
+            ist_bs / (t_ist * (200 / ist_epochs)) * 60, 1
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        extra["error"] = f"{type(e).__name__}: {e}"
+
     print(
         json.dumps(
             {
@@ -92,6 +127,7 @@ def main():
                 "value": round(steps_per_sec, 2),
                 "unit": "closure_evals/sec",
                 "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 2),
+                "extra": extra,
             }
         )
     )

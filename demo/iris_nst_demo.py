@@ -7,7 +7,11 @@ into the content eye.  Saves before/after PNGs.
 
     python demo/iris_nst_demo.py [--content eye1.png --style eye2.png]
 
-Without image args it uses synthetic eyes so the demo is self-contained.
+Without image args it auto-discovers the reference's bundled real eye
+crops (``/root/reference/images/000000339816.png`` content +
+``000000240703.png`` style — the exact pair ``iris_style_transfer.ipynb``
+cells 1-4 composite), falling back to synthetic eyes so the demo stays
+self-contained.
 """
 
 import argparse
@@ -38,6 +42,13 @@ def main():
     from iris_style_transfer_tpu.transfer import nst
 
     os.makedirs(args.outdir, exist_ok=True)
+
+    # the notebook's real eye-crop pair, when present (read-only)
+    ref_imgs = "/root/reference/images"
+    if not args.content and os.path.exists(f"{ref_imgs}/000000339816.png"):
+        args.content = f"{ref_imgs}/000000339816.png"
+        args.style = f"{ref_imgs}/000000240703.png"
+        print(f"using reference eye crops from {ref_imgs}")
 
     def load(path, seed):
         if path:

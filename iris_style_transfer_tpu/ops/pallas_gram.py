@@ -8,9 +8,11 @@ in a VMEM scratch accumulator, so the contraction is one pass over memory
 with MXU-f32 accumulation and no intermediate materialization — the image
 domain's stand-in for blockwise/ring attention.
 
-Used automatically by the NST engine for large spatial extents on TPU;
-``gram_matrix`` remains the XLA reference implementation (the two are
-tested against each other).
+Selected automatically by the NST engine (``make_nst_fn(pallas_gram=
+"auto")``, the default) for Gram-loss runs on TPU when the tap's spatial
+extent is >= 128x128; ``gram_matrix`` remains the XLA reference
+implementation (the two are tested against each other), used on CPU, for
+small extents, and for ragged tile sizes.
 """
 
 from __future__ import annotations

@@ -49,7 +49,7 @@ def make_nst_fn(
     optimizer: str = "lbfgs",
     history_size: int = 10,
     lbfgs_method: str = "compact",
-    pallas_gram: bool = False,
+    pallas_gram: bool | str = "auto",
     scan_unroll: int = 1,
     history_every: int = 0,
     content_layers: Sequence[str] = ("relu4_2",),
@@ -72,6 +72,21 @@ def make_nst_fn(
         truncate=True,
     )
 
+    # Gram implementation selection: "auto" uses the Pallas blockwise kernel
+    # on TPU for large spatial extents (one pass over HBM, measured +6% on
+    # the Gram-loss 512px path — see BASELINE.md), XLA's dot otherwise.
+    def _gram(f):
+        use_pallas = (
+            pallas_gram
+            if isinstance(pallas_gram, bool)
+            else jax.default_backend() == "tpu" and f.shape[1] * f.shape[2] >= 128 * 128
+        )
+        if use_pallas:
+            from ..ops.pallas_gram import gram_matrix_pallas
+
+            return gram_matrix_pallas(f)
+        return gram_matrix(f)
+
     def fn(vgg_params, c_img, s_img, noise_key=None):
         c_img = c_img.astype(jnp.float32)
         s_img = s_img.astype(jnp.float32)
@@ -85,7 +100,7 @@ def make_nst_fn(
                 tuple(map(jax.lax.stop_gradient, style_stats(f))) for f in s_feats
             ]
         else:
-            s_targets = [jax.lax.stop_gradient(gram_matrix(f)) for f in s_feats]
+            s_targets = [jax.lax.stop_gradient(_gram(f)) for f in s_feats]
 
         def loss_fn(x):
             _, x_c, x_s = vgg_apply(vgg_params, x)
@@ -93,12 +108,7 @@ def make_nst_fn(
             if bn_loss:
                 s_loss = style_loss_bn(x_s, s_targets)
             else:
-                if pallas_gram:
-                    from ..ops.pallas_gram import gram_matrix_pallas
-
-                    s_loss = style_loss_gram(x_s, s_targets, gram_fn=gram_matrix_pallas)
-                else:
-                    s_loss = style_loss_gram(x_s, s_targets)
+                s_loss = style_loss_gram(x_s, s_targets, gram_fn=_gram)
             return c_loss * c_loss_weight + s_loss * s_loss_weight, (c_loss, s_loss)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

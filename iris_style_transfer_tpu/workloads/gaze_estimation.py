@@ -24,7 +24,13 @@ import optax
 
 from ..data import batch_iterator, prefetch_to_device, synthetic_eye_batch
 from ..data.openeds2020 import load_data_openeds2020
-from ..models import EfficientNet, GazeEstimator1, GazeEstimator2
+from ..models import (
+    EfficientNet,
+    GazeEstimator1,
+    GazeEstimator2,
+    load_pretrained,
+    pretrained_path,
+)
 from ..ops.ellipse import extract_eye_landmarks
 from ..ops.metrics import angular_distance, cosine_embedding_loss
 from ..parallel import make_mesh
@@ -81,7 +87,12 @@ def _epoch_metrics(preds, labels, prefix, log):
     log[f"{prefix}/degree_distance"] = float(deg.mean())
 
 
-def gaze_estimation(cfg: WorkloadConfig, lrs=(1e-6, 1e-5, 1e-4)) -> dict:
+def gaze_estimation(
+    cfg: WorkloadConfig,
+    lrs=(1e-6, 1e-5, 1e-4),
+    effnet_weights: str = "",
+    resnet_weights: str = "",
+) -> dict:
     seed_all(cfg.seed)
     base = os.path.join(cfg.data_dir, "openeds2020", "openEDS2020-GazePrediction")
     use_real = os.path.isdir(base)
@@ -89,7 +100,17 @@ def gaze_estimation(cfg: WorkloadConfig, lrs=(1e-6, 1e-5, 1e-4)) -> dict:
     def load(postfix):
         if use_real:
             extract = cfg.estimator == 1
-            eff = EfficientNet.init(jax.random.PRNGKey(0)) if extract else None
+            # landmark extraction segments frames with the pretrained
+            # EfficientNet when ported weights exist (reference
+            # data_preprocessing.py:378-383)
+            eff = (
+                load_pretrained(
+                    "efficientnet_unet", effnet_weights,
+                    lambda: EfficientNet.init(jax.random.PRNGKey(0)),
+                )
+                if extract
+                else None
+            )
             return load_data_openeds2020(
                 extract_feature=extract, estimator=cfg.estimator,
                 data_path=base + "/", postfix=postfix, efficientnet_params=eff,
@@ -114,6 +135,12 @@ def gaze_estimation(cfg: WorkloadConfig, lrs=(1e-6, 1e-5, 1e-4)) -> dict:
             params = GazeEstimator1.init(k_init)
         else:
             params = GazeEstimator2.init(k_init, extract_feature=True)
+            # start the trainable backbone from torchvision's pretrained
+            # ResNet50 when ported weights exist (reference resnet.py:18-21)
+            if resnet_weights or pretrained_path("resnet50"):
+                params["resnet"] = load_pretrained(
+                    "resnet50", resnet_weights, lambda: params["resnet"]
+                )
         optimizer = optax.adam(lr)
         opt_state = optimizer.init(params)
         train_step, eval_step = make_steps(cfg.estimator, optimizer)
@@ -157,9 +184,22 @@ def main():
     parser = argparse.ArgumentParser()
     defaults = WorkloadConfig(project="iris-style-transfer", epochs=150, bs=128, save_period=10)
     add_common_args(parser, defaults)
+    parser.add_argument(
+        "--effnet_weights", type=str, default="",
+        help="ported smp Unet(efficientnet-b7) npz for landmark extraction; "
+        "auto-discovers models/weights/unet_efficientnet-b7.npz when omitted",
+    )
+    parser.add_argument(
+        "--resnet_weights", type=str, default="",
+        help="ported ResNet50 IMAGENET1K_V2 npz for GazeEstimator2's "
+        "backbone; auto-discovers models/weights/resnet50.npz when omitted",
+    )
     cfg = parse_config(parser, defaults)
+    args = parser.parse_args()
     assert cfg.estimator in (1, 2)
-    gaze_estimation(cfg)
+    return gaze_estimation(
+        cfg, effnet_weights=args.effnet_weights, resnet_weights=args.resnet_weights
+    )
 
 
 if __name__ == "__main__":

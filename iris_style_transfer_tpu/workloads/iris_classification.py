@@ -26,7 +26,7 @@ import optax
 
 from ..data import batch_iterator, build_ir_dataset, prefetch_to_device, synthetic_openeds2019
 from ..data.openeds2019 import load_data_openeds2019
-from ..models import Classifier1, Classifier2, RITnet, VGG19
+from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
 from ..ops.image import gray_to_rgb
 from ..ops.metrics import classification_metrics, cross_entropy
 from ..parallel import make_mesh, mlp_tp_spec, shard_params
@@ -75,7 +75,7 @@ def _load_data(cfg: WorkloadConfig):
     return synthetic_openeds2019(n_per_user=8, num_users=8, seed=cfg.seed)
 
 
-def iris_classification(cfg: WorkloadConfig) -> dict:
+def iris_classification(cfg: WorkloadConfig, vgg_weights: str = "") -> dict:
     key = seed_all(cfg.seed)
 
     train_x, train_y, _, test_x, test_y, _, num_class = _load_data(cfg)
@@ -97,7 +97,7 @@ def iris_classification(cfg: WorkloadConfig) -> dict:
     mesh = make_mesh(model_parallel=cfg.model_parallel)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    vgg_params = VGG19.init(k_vgg)
+    vgg_params = load_pretrained("vgg19", vgg_weights, lambda: VGG19.init(k_vgg))
     train_params = {
         "c1": Classifier1.init(k_c1, num_class),
         "c2": Classifier2.init(k_c2, num_class=num_class),
@@ -183,9 +183,15 @@ def main():
     parser = argparse.ArgumentParser()
     defaults = WorkloadConfig(project="iris-style-transfer", epochs=500, bs=64, lr=1e-5)
     add_common_args(parser, defaults)
+    parser.add_argument(
+        "--vgg_weights", type=str, default="",
+        help="ported VGG19 IMAGENET1K_V1 npz; auto-discovers "
+        "models/weights/vgg19.npz when omitted",
+    )
     cfg = parse_config(parser, defaults)
+    args = parser.parse_args()
     cfg.name = f"seed {cfg.seed} rd {cfg.rotation_degree} pd {cfg.perspect_degree} lr {cfg.lr}"
-    iris_classification(cfg)
+    return iris_classification(cfg, vgg_weights=args.vgg_weights)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ jitted programs with zero per-image host work, batch-sharded over the mesh.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import jax
@@ -26,17 +27,37 @@ import numpy as np
 
 from ..data import batch_iterator, build_ist_dataset, synthetic_openeds2019
 from ..data.openeds2019 import load_data_openeds2019
-from ..models import Classifier1, Classifier2, RITnet, VGG19
+from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
 from ..ops.image import crop_and_resize, gray_to_rgb
 from ..ops.metrics import classification_metrics, iou_per_class
+from ..parallel import make_mesh, shard_params
+from ..parallel.mesh import batch_sharding
 from ..pipelines import composite_batch
-from ..runtime import MetricLogger, StepTimer, restore_checkpoint
+from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..transfer.nst import make_nst_fn
 from ..utils import prepare_dir, seed as seed_all
 
 
-def make_programs(num_class: int, nst_epochs: int, c_w: float, s_w: float, compute_dtype):
+def _stager(mesh):
+    """Host batch -> device, batch-sharded over the mesh's data axis when a
+    mesh is given (the flagship pipeline's multi-chip path — reference
+    ``iris_style_transfer_openeds2019.py:93-136`` runs it on one GPU)."""
+    if mesh is None:
+        return jnp.asarray
+
+    def stage(a):
+        if not isinstance(a, jax.Array):
+            a = np.asarray(a)
+        return jax.device_put(a, batch_sharding(mesh, a.ndim))
+
+    return stage
+
+
+def make_programs(
+    num_class: int, nst_epochs: int, c_w: float, s_w: float, compute_dtype,
+    seg_chunk: int = 8,
+):
     @jax.jit
     def pre_fn(vgg_params, c1, c2, c_imgs, masks, bboxes):
         masked = c_imgs * masks.astype(c_imgs.dtype)
@@ -74,7 +95,8 @@ def make_programs(num_class: int, nst_epochs: int, c_w: float, s_w: float, compu
         seg = RITnet.apply(ritnet_params, new_frames)
         return iou_per_class(seg, seg_gt)
 
-    def post_seg(ritnet_params, new_frames, seg_gt, chunk: int = 8):
+    def post_seg(ritnet_params, new_frames, seg_gt, chunk: int | None = None):
+        chunk = chunk or seg_chunk
         parts = []
         n = new_frames.shape[0]
         for i in range(0, n, chunk):
@@ -96,11 +118,11 @@ def _save_png(path: str, img: np.ndarray) -> None:
 
 
 def _load_head(path: str | None, default):
-    if path and os.path.exists(path):
-        step, state = restore_checkpoint(os.path.dirname(path)) or (0, None)
-        if state is not None:
-            return state["params"]
-    return default
+    """Load classifier params from the *exact* checkpoint file named
+    (reference: ``iris_style_transfer_openeds2019.py:234-241``), a
+    directory's latest step, or fall back to ``default`` when no path is
+    given."""
+    return restore_params(path, default)
 
 
 def iris_style_transfer_openeds2019(
@@ -118,11 +140,15 @@ def iris_style_transfer_openeds2019(
     logger: MetricLogger,
     save_period: int = 50,
     num_class: int = 152,
+    mesh=None,
 ) -> dict:
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    n_data = mesh.shape["data"] if mesh is not None else 1
     pre_fn, nst_fn, post_fn, post_seg = make_programs(
-        num_class, nst_epoch, c_loss_weight, s_loss_weight, compute_dtype
+        num_class, nst_epoch, c_loss_weight, s_loss_weight, compute_dtype,
+        seg_chunk=8 * n_data,
     )
+    stage = _stager(mesh)
 
     agg = {
         "pre1": [], "pre2": [], "post1": [], "post2": [],
@@ -144,15 +170,19 @@ def iris_style_transfer_openeds2019(
         valid = batch[7] if len(batch) > 7 else np.ones(len(c_labels), bool)
         blog = {}
 
+        c_imgs_j, masks_j, bboxes_j = stage(c_imgs), stage(masks), stage(bboxes)
         irises, p1, p2 = pre_fn(
-            vgg_params, c1_params, c2_params,
-            jnp.asarray(c_imgs), jnp.asarray(masks), jnp.asarray(bboxes),
+            vgg_params, c1_params, c2_params, c_imgs_j, masks_j, bboxes_j
         )
-        yy, ys = jnp.asarray(c_labels), jnp.asarray(s_labels)
-        for nm, pred, lab in (("c1", p1, yy), ("c2", p2, yy)):
+        # batch metrics over valid rows only — padded rows duplicate the
+        # last sample and would bias the final short batch
+        yy = jnp.asarray(np.asarray(c_labels)[valid])
+        ys = jnp.asarray(np.asarray(s_labels)[valid])
+        p1v, p2v = jnp.asarray(np.asarray(p1)[valid]), jnp.asarray(np.asarray(p2)[valid])
+        for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
             m = classification_metrics(lab, pred, num_class)
             blog.update({f"{metric_prefix}pre/{nm}/batch/{k}": v for k, v in m.items()})
-        for nm, pred in (("c1", p1), ("c2", p2)):
+        for nm, pred in (("c1", p1v), ("c2", p2v)):
             m = classification_metrics(ys, pred, num_class)
             blog.update({f"{metric_prefix}pre/{nm}/mis/batch/{k}": v for k, v in m.items()})
         agg["pre1"].append(np.asarray(p1)[valid]); agg["pre2"].append(np.asarray(p2)[valid])
@@ -164,9 +194,7 @@ def iris_style_transfer_openeds2019(
             _save_png(f"{save_dir}batch_{batch_id}_sty.png", np.asarray(s_irises[0]))
 
         with timer:
-            result = nst_fn(
-                vgg_params, irises, gray_to_rgb(jnp.asarray(s_irises))
-            )
+            result = nst_fn(vgg_params, irises, gray_to_rgb(stage(s_irises)))
             result.x.block_until_ready()
         c_loss = float(result.c_loss_hist[-1]); s_loss = float(result.s_loss_hist[-1])
         agg["c_loss"].append(c_loss); agg["s_loss"].append(s_loss)
@@ -175,14 +203,14 @@ def iris_style_transfer_openeds2019(
         blog[f"{metric_prefix}/batch/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
 
         new_frames, p1, p2 = post_fn(
-            vgg_params, c1_params, c2_params,
-            jnp.asarray(c_imgs), result.x, jnp.asarray(masks), jnp.asarray(bboxes),
+            vgg_params, c1_params, c2_params, c_imgs_j, result.x, masks_j, bboxes_j
         )
-        ious, miou = post_seg(ritnet_params, new_frames, jnp.asarray(seg_gt))
-        for nm, pred, lab in (("c1", p1, yy), ("c2", p2, yy)):
+        ious, miou = post_seg(ritnet_params, new_frames, stage(seg_gt))
+        p1v, p2v = jnp.asarray(np.asarray(p1)[valid]), jnp.asarray(np.asarray(p2)[valid])
+        for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
             m = classification_metrics(lab, pred, num_class)
             blog.update({f"{metric_prefix}post/{nm}/batch/{k}": v for k, v in m.items()})
-        for nm, pred in (("c1", p1), ("c2", p2)):
+        for nm, pred in (("c1", p1v), ("c2", p2v)):
             m = classification_metrics(ys, pred, num_class)
             blog.update({f"{metric_prefix}post/{nm}/mis/batch/{k}": v for k, v in m.items()})
         ious_np = np.asarray(ious)[:, valid]
@@ -232,8 +260,17 @@ def main():
     add_common_args(parser, defaults)
     parser.add_argument("-path1", "--classifier1_path", type=str, default="")
     parser.add_argument("-path2", "--classifier2_path", type=str, default="")
+    parser.add_argument(
+        "--vgg_weights", type=str, default="",
+        help="ported VGG19 IMAGENET1K_V1 npz (tools/port_weights.py); "
+        "auto-discovers models/weights/vgg19.npz when omitted",
+    )
     parser.add_argument("--nst_epochs", type=int, nargs="+", default=[200])
     parser.add_argument("--s_loss_weights", type=float, nargs="+", default=[1.0])
+    parser.add_argument(
+        "--rerun", action="store_true",
+        help="re-run sweep combos that already have a done.json marker",
+    )
     cfg = parse_config(parser, defaults)
     args = parser.parse_args()
 
@@ -247,22 +284,39 @@ def main():
     train_x, train_y, train_m, test_x, test_y, test_m, num_class = data
     print("number of classes:", num_class)
 
+    # mesh: pure data parallelism — every program in this pipeline is
+    # batch-parallel (SURVEY §2.3); params replicate, batches shard
+    mesh = make_mesh(model_parallel=1)
+    n_data = mesh.shape["data"]
+    if cfg.bs % n_data:
+        raise SystemExit(f"batch size {cfg.bs} not divisible by {n_data} data shards")
+
     k_vgg, k_c1, k_c2 = jax.random.split(key, 3)
-    vgg_params = VGG19.init(k_vgg)
+    vgg_params = load_pretrained("vgg19", args.vgg_weights, lambda: VGG19.init(k_vgg))
     ritnet_params = RITnet.pretrained()
     c1_params = _load_head(args.classifier1_path, Classifier1.init(k_c1, num_class))
     c2_params = _load_head(args.classifier2_path, Classifier2.init(k_c2, num_class=num_class))
+    vgg_params, ritnet_params, c1_params, c2_params = (
+        shard_params(mesh, p) for p in (vgg_params, ritnet_params, c1_params, c2_params)
+    )
 
     splits = [("test/", test_x, test_y, test_m)]
     if cfg.eval_train:
         splits.append(("train/", train_x, train_y, train_m))
+    results = {}
 
     for prefix, xs, ys_, ms in splits:
         dataset = build_ist_dataset(xs, ys_, ms, ritnet_params, cfg.glint_threshold)
         for sw in args.s_loss_weights:
             for nst_epoch in args.nst_epochs:
                 save_dir = f"saved/openeds2019/sw_{sw}_epoch_{nst_epoch}/{prefix}"
-                prepare_dir(save_dir)
+                # resumable sweep (SURVEY §5.3): keep existing outputs and
+                # skip combos a previous (possibly crashed) run completed
+                done_marker = os.path.join(save_dir, "done.json")
+                if os.path.exists(done_marker) and not args.rerun:
+                    print(f"[sweep] {save_dir} already complete, skipping")
+                    continue
+                prepare_dir(save_dir, idempotent=True)
                 name = f"seed {cfg.seed} sw {sw} epoch {nst_epoch} {prefix[:-1]}"
                 logger = MetricLogger(cfg.project, name, cfg.to_dict())
                 # pre-NST IoUs recorded at dataset construction (:259-263)
@@ -273,12 +327,16 @@ def main():
                 np.save(f"{save_dir}mious_pre.npy", dataset.mious)
                 pre_log[f"{prefix}pre/mean_miou"] = float(np.nanmean(dataset.mious))
                 logger.log(pre_log)
-                iris_style_transfer_openeds2019(
+                log = iris_style_transfer_openeds2019(
                     cfg, dataset, vgg_params, ritnet_params, c1_params, c2_params,
                     cfg.c_loss_weight, sw, nst_epoch, prefix, save_dir, logger,
-                    num_class=num_class,
+                    num_class=num_class, mesh=mesh,
                 )
                 logger.finish()
+                with open(done_marker, "w") as fh:
+                    json.dump({k: float(v) for k, v in log.items()}, fh)
+                results[(prefix, sw, nst_epoch)] = log
+    return results
 
 
 if __name__ == "__main__":

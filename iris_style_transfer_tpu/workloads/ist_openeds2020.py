@@ -18,6 +18,7 @@ device programs.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import jax
@@ -26,21 +27,48 @@ import numpy as np
 
 from ..data import batch_iterator, synthetic_eye_batch
 from ..data.openeds2020 import load_data_openeds2020
-from ..models import EfficientNet, GazeEstimator1, GazeEstimator2, ResNet50, VGG19
+from ..models import (
+    EfficientNet,
+    GazeEstimator1,
+    GazeEstimator2,
+    ResNet50,
+    VGG19,
+    load_pretrained,
+    pretrained_path,
+)
 from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox
 from ..ops.metrics import angular_distance
 from ..pipelines import composite_batch, extract_iris_batch
-from ..runtime import MetricLogger, StepTimer, restore_checkpoint
+from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..transfer.nst import make_nst_fn
 from ..utils import prepare_dir, seed as seed_all
 
 
-def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, seg_chunk: int = 8):
+def _stager(mesh):
+    """Host array -> device, batch-sharded over the mesh's data axis when a
+    mesh is given."""
+    if mesh is None:
+        return jnp.asarray
+
+    from ..parallel.mesh import batch_sharding
+
+    def stage(a):
+        if not isinstance(a, jax.Array):
+            a = np.asarray(a)
+        return jax.device_put(a, batch_sharding(mesh, a.ndim))
+
+    return stage
+
+
+def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, mesh=None):
     """Full-resolution segmentation/gaze run as one jitted program applied
     in chunks (EfficientNet-B7 + ResNet50 at 400x640 hold too much
-    activation memory for a 128-image batch on one chip); the NST scan runs
-    on the full 224^2 batch."""
+    activation memory for a 128-image batch on one chip; the per-device
+    chunk stays at 8, so the global chunk scales with the mesh's data
+    axis); the NST scan runs on the full 224^2 batch, batch-sharded."""
+    stage = _stager(mesh)
+    seg_chunk = 8 * (mesh.shape["data"] if mesh is not None else 1)
 
     @jax.jit
     def _pre_chunk(eff_params, g1_params, g2_params, c_imgs):
@@ -53,8 +81,11 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, seg_chunk: int = 8
         return segs, preds1, preds2, irises, masks, bboxes
 
     def pre_fn(eff_params, g1_params, g2_params, c_imgs):
+        """c_imgs: host numpy — each chunk is staged batch-sharded so every
+        device segments <=8 frames at a time."""
+        c_imgs = np.asarray(c_imgs)
         outs = [
-            _pre_chunk(eff_params, g1_params, g2_params, c_imgs[i : i + seg_chunk])
+            _pre_chunk(eff_params, g1_params, g2_params, stage(c_imgs[i : i + seg_chunk]))
             for i in range(0, c_imgs.shape[0], seg_chunk)
         ]
         return tuple(jnp.concatenate(parts) for parts in zip(*outs))
@@ -87,17 +118,19 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, seg_chunk: int = 8
         ]
         return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
-    return pre_fn, nst_fn, post_fn
+    return pre_fn, nst_fn, post_fn, stage
 
 
 def iris_style_transfer_openeds2020(
     cfg, images, labels, eff_params, g1_params, g2_params, vgg_params, s_iris,
     c_loss_weight, s_loss_weight, nst_epoch, metric_prefix, save_dir, logger,
     save_period: int = 50,
+    mesh=None,
 ):
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    pre_fn, nst_fn, post_fn = make_programs(
-        nst_epoch, c_loss_weight, s_loss_weight, cfg.glint_threshold, compute_dtype
+    pre_fn, nst_fn, post_fn, stage = make_programs(
+        nst_epoch, c_loss_weight, s_loss_weight, cfg.glint_threshold, compute_dtype,
+        mesh=mesh,
     )
     s_iris_rgb = gray_to_rgb(jnp.asarray(s_iris))
 
@@ -118,11 +151,14 @@ def iris_style_transfer_openeds2020(
         if batch_id % save_period == 0:
             _save_png(f"{save_dir}batch_{batch_id}_raw.png", c_imgs[0])
 
-        c_imgs_j = jnp.asarray(c_imgs)
-        segs, p1, p2, irises, masks, bboxes = pre_fn(eff_params, g1_params, g2_params, c_imgs_j)
-        labs_j = jnp.asarray(labs)
-        r1, d1 = angular_distance(p1, labs_j)
-        r2, d2 = angular_distance(p2, labs_j)
+        segs, p1, p2, irises, masks, bboxes = pre_fn(
+            eff_params, g1_params, g2_params, c_imgs
+        )
+        # batch metrics over valid rows only — padded rows duplicate the
+        # last sample and would bias the final short batch
+        labs_v = jnp.asarray(np.asarray(labs)[valid])
+        r1, d1 = angular_distance(jnp.asarray(np.asarray(p1)[valid]), labs_v)
+        r2, d2 = angular_distance(jnp.asarray(np.asarray(p2)[valid]), labs_v)
         blog[f"{metric_prefix}/batch/pre/radian_distance1"] = float(r1.mean())
         blog[f"{metric_prefix}/batch/pre/degree_distance1"] = float(d1.mean())
         blog[f"{metric_prefix}/batch/pre/radian_distance2"] = float(r2.mean())
@@ -131,6 +167,9 @@ def iris_style_transfer_openeds2020(
         agg["labels"].append(np.asarray(labs)[valid])
 
         with timer:
+            # re-shard the concatenated chunk outputs evenly over the data
+            # axis before the NST scan (cheap device-to-device placement)
+            irises = stage(irises)
             s_batch = jnp.broadcast_to(s_iris_rgb[None], irises.shape)
             result = nst_fn(vgg_params, irises, s_batch)
             result.x.block_until_ready()
@@ -141,10 +180,11 @@ def iris_style_transfer_openeds2020(
         blog[f"{metric_prefix}/batch/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
 
         new_frames, p1, p2 = post_fn(
-            eff_params, g1_params, g2_params, c_imgs_j, result.x, masks, bboxes
+            eff_params, g1_params, g2_params,
+            stage(c_imgs), result.x, stage(masks), stage(bboxes),
         )
-        r1, d1 = angular_distance(p1, labs_j)
-        r2, d2 = angular_distance(p2, labs_j)
+        r1, d1 = angular_distance(jnp.asarray(np.asarray(p1)[valid]), labs_v)
+        r2, d2 = angular_distance(jnp.asarray(np.asarray(p2)[valid]), labs_v)
         blog[f"{metric_prefix}/batch/post/radian_distance1"] = float(r1.mean())
         blog[f"{metric_prefix}/batch/post/degree_distance1"] = float(d1.mean())
         blog[f"{metric_prefix}/batch/post/radian_distance2"] = float(r2.mean())
@@ -179,25 +219,62 @@ def main():
     add_common_args(parser, defaults)
     parser.add_argument("-path1", "--estimator1_path", type=str, default="")
     parser.add_argument("-path2", "--estimator2_path", type=str, default="")
+    parser.add_argument(
+        "--vgg_weights", type=str, default="",
+        help="ported VGG19 IMAGENET1K_V1 npz; auto-discovers "
+        "models/weights/vgg19.npz when omitted",
+    )
+    parser.add_argument(
+        "--effnet_weights", type=str, default="",
+        help="ported smp Unet(efficientnet-b7) npz; auto-discovers "
+        "models/weights/unet_efficientnet-b7.npz when omitted",
+    )
+    parser.add_argument(
+        "--resnet_weights", type=str, default="",
+        help="ported ResNet50 IMAGENET1K_V2 npz for GazeEstimator2's "
+        "backbone; auto-discovers models/weights/resnet50.npz when omitted",
+    )
     parser.add_argument("--nst_epochs", type=int, nargs="+", default=[200])
     parser.add_argument("--s_loss_weights", type=float, nargs="+", default=[1.0])
+    parser.add_argument(
+        "--rerun", action="store_true",
+        help="re-run sweep combos that already have a done.json marker",
+    )
     cfg = parse_config(parser, defaults)
     args = parser.parse_args()
 
     key = seed_all(cfg.seed)
+    # mesh: pure data parallelism (every stage of this pipeline is
+    # batch-parallel, SURVEY §2.3); params replicate, batches shard
+    from ..parallel import make_mesh, shard_params
+
+    mesh = make_mesh(model_parallel=1)
+    if cfg.bs % mesh.shape["data"]:
+        raise SystemExit(
+            f"batch size {cfg.bs} not divisible by {mesh.shape['data']} data shards"
+        )
+
     k_vgg, k_eff, k_g1, k_g2, k_res = jax.random.split(key, 5)
-    vgg_params = VGG19.init(k_vgg)
-    eff_params = EfficientNet.init(k_eff)
-    g1_params = GazeEstimator1.init(k_g1)
-    g2_params = GazeEstimator2.init(k_g2, extract_feature=True)
-    for path, name in ((args.estimator1_path, "g1"), (args.estimator2_path, "g2")):
-        if path and os.path.isdir(os.path.dirname(path or ".")):
-            res = restore_checkpoint(os.path.dirname(path))
-            if res:
-                if name == "g1":
-                    g1_params = res[1]["params"]
-                else:
-                    g2_params = res[1]["params"]
+    vgg_params = load_pretrained("vgg19", args.vgg_weights, lambda: VGG19.init(k_vgg))
+    eff_params = load_pretrained(
+        "efficientnet_unet", args.effnet_weights, lambda: EfficientNet.init(k_eff)
+    )
+    # estimators from checkpoints (reference :228-235): exact file when a
+    # file is named, latest step when a directory is named, seeded init
+    # otherwise
+    g1_params = restore_params(args.estimator1_path, GazeEstimator1.init(k_g1))
+    g2_params = restore_params(args.estimator2_path, None)
+    if g2_params is None:
+        g2_params = GazeEstimator2.init(k_g2, extract_feature=True)
+        # no trained estimator checkpoint -> at least give its backbone the
+        # torchvision pretrained weights the reference starts from (:18-21)
+        if args.resnet_weights or pretrained_path("resnet50"):
+            g2_params["resnet"] = load_pretrained(
+                "resnet50", args.resnet_weights, lambda: g2_params["resnet"]
+            )
+    vgg_params, eff_params, g1_params, g2_params = (
+        shard_params(mesh, p) for p in (vgg_params, eff_params, g1_params, g2_params)
+    )
 
     base = os.path.join(cfg.data_dir, "openeds2020", "openEDS2020-GazePrediction")
     use_real = os.path.isdir(base)
@@ -227,6 +304,7 @@ def main():
         postfixes.append("train/")
     if cfg.eval_test:
         postfixes.append("test/")
+    results = {}
 
     for postfix in postfixes:
         print(f"loading {postfix[:-1]} set...")
@@ -245,15 +323,26 @@ def main():
         for sw in args.s_loss_weights:
             for nst_epoch in args.nst_epochs:
                 save_dir = f"saved/openeds2020/sw_{sw}_epoch_{nst_epoch}/{postfix}"
-                prepare_dir(save_dir)
+                # resumable sweep (SURVEY §5.3): keep existing outputs and
+                # skip combos a previous (possibly crashed) run completed
+                done_marker = os.path.join(save_dir, "done.json")
+                if os.path.exists(done_marker) and not args.rerun:
+                    print(f"[sweep] {save_dir} already complete, skipping")
+                    continue
+                prepare_dir(save_dir, idempotent=True)
                 np.save(f"{save_dir}gts.npy", labels)
                 name = f"seed {cfg.seed} sw {sw} epoch {nst_epoch} test"
                 logger = MetricLogger(cfg.project, name, cfg.to_dict())
-                iris_style_transfer_openeds2020(
+                log = iris_style_transfer_openeds2020(
                     cfg, images, labels, eff_params, g1_params, g2_params, vgg_params,
                     s_iris, cfg.c_loss_weight, sw, nst_epoch, postfix, save_dir, logger,
+                    mesh=mesh,
                 )
                 logger.finish()
+                with open(done_marker, "w") as fh:
+                    json.dump({k: float(v) for k, v in log.items()}, fh)
+                results[(postfix, sw, nst_epoch)] = log
+    return results
 
 
 if __name__ == "__main__":

@@ -1,0 +1,127 @@
+"""Smoke tests for the four workload entry points (L4/L5).
+
+Each test drives the real ``main()`` — argparse -> data fallback -> jitted
+programs -> metric aggregation -> checkpoint/sweep bookkeeping — on tiny
+synthetic data (small frames, 1-2 epochs) over the virtual CPU mesh, and
+asserts the reference's wandb metric namespaces come out
+(``iris_classification.py:83-108``, ``gaze_estimation.py:85-122``,
+``iris_style_transfer_openeds2019.py:167-199``,
+``iris_style_transfer_openeds2020.py:161-194``).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from iris_style_transfer_tpu.data.synthetic import (
+    synthetic_eye_batch,
+    synthetic_openeds2019,
+)
+
+# 48x64 divides cleanly through RITnet's 4 avg-pools (/16) and, after the
+# EfficientNet height pad (+16 -> 64), through the B7 encoder's 5 stride-2
+# stages (/32)
+TINY_H, TINY_W = 48, 64
+
+
+def _tiny_openeds2019(n_per_user=6, num_users=3, seed=0, **_):
+    return synthetic_openeds2019(
+        n_per_user=n_per_user, num_users=num_users, seed=seed,
+        height=TINY_H, width=TINY_W,
+    )
+
+
+def _tiny_eye_batch(n, *args, **kwargs):
+    kwargs.pop("height", None); kwargs.pop("width", None)
+    return synthetic_eye_batch(n, height=TINY_H, width=TINY_W,
+                               seed=kwargs.get("seed", 0))
+
+
+def test_iris_classification_main(tmp_path, monkeypatch):
+    from iris_style_transfer_tpu.workloads import iris_classification as wl
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(wl, "synthetic_openeds2019", _tiny_openeds2019)
+    monkeypatch.setattr(sys, "argv", [
+        "iris_classification", "-E", "1", "-bs", "8", "-SP", "-1",
+        "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
+    ])
+    log = wl.main()
+    for key in ("train/c1/accu", "train/c2/loss", "test/c1/f1",
+                "test/c2/mcc", "test/c1/auc", "train/steps_per_sec"):
+        assert key in log, key
+    assert 0.0 <= log["test/c1/accu"] <= 1.0
+
+
+def test_gaze_estimation_main(tmp_path, monkeypatch):
+    from iris_style_transfer_tpu.workloads import gaze_estimation as wl
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(wl, "synthetic_eye_batch", _tiny_eye_batch)
+    monkeypatch.setattr(sys, "argv", [
+        "gaze_estimation", "-E", "1", "-bs", "16", "-SP", "-1",
+        "-estimator", "1", "--data_dir", str(tmp_path / "nodata"),
+    ])
+    log = wl.main()
+    for key in ("train/loss", "train/radian_distance", "train/degree_distance",
+                "valid/loss", "valid/degree_distance", "train/steps_per_sec"):
+        assert key in log, key
+    # angular distances are radians/degrees of the same quantity
+    np.testing.assert_allclose(
+        log["valid/degree_distance"],
+        np.degrees(log["valid/radian_distance"]), rtol=1e-5,
+    )
+
+
+def test_ist_openeds2019_main_and_sweep_resume(tmp_path, monkeypatch):
+    from iris_style_transfer_tpu.workloads import ist_openeds2019 as wl
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(wl, "synthetic_openeds2019", _tiny_openeds2019)
+    monkeypatch.setattr(sys, "argv", [
+        "ist2019", "-bs", "8", "--nst_epochs", "2",
+        "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
+    ])
+    results = wl.main()
+    assert ("test/", 1.0, 2) in results
+    log = results[("test/", 1.0, 2)]
+    for key in ("test/pre/c1/accu", "test/pre/c2/mis/f1", "test/post/c1/loss",
+                "test/post/c2/mis/auc", "test/post/mean_miou",
+                "test/post/mean_iou2", "test//c_loss", "test//s_loss",
+                "test/stylized_images_per_min"):
+        assert key in log, key
+    # artifacts of the reference's .pt dumps (as .npy) + completion marker
+    out = tmp_path / "saved" / "openeds2019" / "sw_1.0_epoch_2" / "test"
+    assert (out / "mious_post.npy").exists()
+    assert (out / "ious2_pre.npy").exists()
+    assert (out / "done.json").exists()
+
+    # a second sweep invocation skips the completed combo (resumable sweeps,
+    # SURVEY §5.3) instead of wiping and recomputing
+    assert wl.main() == {}
+
+
+def test_ist_openeds2020_main(tmp_path, monkeypatch):
+    from iris_style_transfer_tpu.workloads import ist_openeds2020 as wl
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(wl, "synthetic_eye_batch", _tiny_eye_batch)
+    monkeypatch.setattr(sys, "argv", [
+        "ist2020", "-bs", "8", "--nst_epochs", "2",
+        "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
+    ])
+    results = wl.main()
+    assert ("validation/", 1.0, 2) in results
+    log = results[("validation/", 1.0, 2)]
+    for key in ("validation//pre/radian_distance1",
+                "validation//pre/degree_distance2",
+                "validation//post/radian_distance2",
+                "validation//post/degree_distance1",
+                "validation//c_loss", "validation//s_loss",
+                "validation//stylized_images_per_min"):
+        assert key in log, key
+    out = tmp_path / "saved" / "openeds2020" / "sw_1.0_epoch_2" / "validation"
+    assert (out / "gts.npy").exists()
+    assert (out / "preds1_post.npy").exists()
+    assert (out / "done.json").exists()
