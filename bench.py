@@ -57,9 +57,9 @@ def main():
     s = jax.random.uniform(jax.random.fold_in(key, 2), (BATCH, SIZE, SIZE, 3))
     jax.block_until_ready((cs, s))
 
-    fn = jax.jit(make_nst_fn(epochs=EPOCHS, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=2))
+    fn = jax.jit(make_nst_fn(epochs=EPOCHS, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=8, lbfgs_dtype=jnp.bfloat16))
     fn_q = jax.jit(
-        make_nst_fn(epochs=EPOCHS // 4, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=2)
+        make_nst_fn(epochs=EPOCHS // 4, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=8, lbfgs_dtype=jnp.bfloat16)
     )
 
     run(fn, params, cs[0], s)  # compile + warmup
@@ -96,7 +96,7 @@ def main():
                           ("gram_512px_bs4_steps_per_sec_xla", False)):
             gfn = jax.jit(make_nst_fn(
                 epochs=g_epochs, bn_loss=False, pallas_gram=pg,
-                compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=2,
+                compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=8, lbfgs_dtype=jnp.bfloat16,
             ))
             run(gfn, params, cs[0], s)  # compile + warmup
             t = min(run(gfn, params, c, s)[0] for c in cs[1:3])
@@ -107,7 +107,7 @@ def main():
         si = jax.random.uniform(jax.random.fold_in(key, 31), (ist_bs, ist_size, ist_size, 3))
         ifn = jax.jit(make_nst_fn(
             epochs=ist_epochs, compute_dtype=jnp.bfloat16, history_size=10,
-            scan_unroll=2,
+            scan_unroll=8, lbfgs_dtype=jnp.bfloat16,
         ))
         run(ifn, params, ci, si)  # compile + warmup
         ci2 = jax.random.uniform(jax.random.fold_in(key, 32), ci.shape)

@@ -64,10 +64,20 @@ def style_stats(feat: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     std is Bessel-corrected (ddof=1) to match ``torch.std``
     (``utils.py:337-338``); computed in float32.
+
+    One fused pass (sum + sum-of-squares) instead of mean-then-var: the
+    taps are the large early-layer activations (up to (B, 512, 512, 64) at
+    the 512px north star), and the two-pass form reads them from HBM twice
+    per loss evaluation (~2 ms/step measured at that config).  Post-ReLU
+    activations have mean ~ std, so E[x^2] - E[x]^2 cancellation is benign
+    in f32 accumulation.
     """
     f = feat.astype(jnp.float32)
-    mean = jnp.mean(f, axis=(-3, -2))
-    var = jnp.var(f, axis=(-3, -2), ddof=1)
+    n = feat.shape[-3] * feat.shape[-2]
+    s1 = jnp.sum(f, axis=(-3, -2))
+    s2 = jnp.sum(f * f, axis=(-3, -2))
+    mean = s1 / n
+    var = jnp.maximum(s2 - n * mean * mean, 0.0) / (n - 1)
     return mean, jnp.sqrt(var)
 
 

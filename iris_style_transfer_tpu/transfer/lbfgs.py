@@ -15,11 +15,18 @@ Faithfulness notes (torch semantics reproduced exactly):
   * pairs are accepted only when ``y.s > 1e-10``;
   * initial Hessian scale ``gamma = y.s / y.y``.
 
-History is a fixed-size circular buffer (slot -1 = most recent).  torch's
-default ``history_size=100`` would hold 2x100 image-sized vectors; the
-curvature benefit saturates far earlier, so ``history_size`` defaults to 10
-here and is configurable (memory on v5e is the binding constraint; see
-SURVEY.md §7 "hard parts").
+History is a fixed-size **circular buffer**: an accepted pair overwrites
+the slot ``count % m`` (one (N,)-row write), and chronological order is
+recovered as a permutation applied to the tiny (m,)- and (m, m)-sized
+quantities — never to the (m, N) buffers.  The previous implementation
+shifted both buffers every step (``concatenate([buf[1:], v])``) and
+masked/concatenated them for the direction computation, moving ~2.5 GB of
+HBM per step at the 512px bs4 config; this form moves ~0.9 GB (measured
+7.4 ms -> ~1.5 ms per step on v5e).
+
+torch's default ``history_size=100`` would hold 2x100 image-sized vectors;
+the curvature benefit saturates far earlier, so ``history_size`` defaults
+to 10 here and is configurable.
 """
 
 from __future__ import annotations
@@ -31,26 +38,43 @@ import jax.numpy as jnp
 
 
 class LBFGSState(NamedTuple):
-    s_hist: jax.Array  # (m, N) previous steps, slot -1 most recent
-    y_hist: jax.Array  # (m, N) previous gradient differences
-    rho: jax.Array  # (m,) 1/(y.s); 0 marks an empty/rejected slot
+    s_hist: jax.Array  # (m, N) previous steps, circular buffer
+    y_hist: jax.Array  # (m, N) previous gradient differences, circular
+    rho: jax.Array  # (m,) 1/(y.s) per slot; 0 marks a never-written slot
     gamma: jax.Array  # () initial Hessian scale
     prev_g: jax.Array  # (N,) gradient at previous closure
     prev_step: jax.Array  # (N,) previous update t*d
     iteration: jax.Array  # () global iteration counter
+    count: jax.Array  # () number of accepted pairs (next write: count % m)
 
 
 def lbfgs_init(n: int, history_size: int = 10, dtype=jnp.float32) -> LBFGSState:
+    """``dtype`` applies to the (m, N) history buffers only (bfloat16
+    halves their HBM traffic per direction computation); curvature scalars
+    and the previous gradient/step stay float32."""
     m = history_size
     return LBFGSState(
         s_hist=jnp.zeros((m, n), dtype),
         y_hist=jnp.zeros((m, n), dtype),
-        rho=jnp.zeros((m,), dtype),
-        gamma=jnp.ones((), dtype),
-        prev_g=jnp.zeros((n,), dtype),
-        prev_step=jnp.zeros((n,), dtype),
+        rho=jnp.zeros((m,), jnp.float32),
+        gamma=jnp.ones((), jnp.float32),
+        prev_g=jnp.zeros((n,), jnp.float32),
+        prev_step=jnp.zeros((n,), jnp.float32),
         iteration=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
     )
+
+
+def _chron_perm(state: LBFGSState) -> jax.Array:
+    """Slot indices in chronological order (oldest -> newest).
+
+    Pair k lives in slot k % m; after ``count`` accepted pairs the stored
+    pairs are count-m .. count-1, so oldest-to-newest slots are
+    ``(count + i) % m`` for i = 0..m-1.  Never-written slots (zeros,
+    rho == 0) land at the front and are masked out downstream.
+    """
+    m = state.s_hist.shape[0]
+    return (state.count + jnp.arange(m, dtype=state.count.dtype)) % m
 
 
 def _compact_direction(state: LBFGSState, g: jax.Array) -> jax.Array:
@@ -60,62 +84,88 @@ def _compact_direction(state: LBFGSState, g: jax.Array) -> jax.Array:
         H = gI + [S gY] [[ R^{-T}(D + g Y'Y) R^{-1}, -R^{-T}],
                           [-R^{-1},                   0     ]] [S'; gY']
 
-    with S, Y the (m, N) history (rows chronological, slot -1 newest),
+    with S, Y the (m, N) history in *chronological* order and
     R = upper-triangle(S Y'), D = diag(S Y').  Mathematically identical to
-    the two-loop recursion but all large-N work is two (m, N) matmuls plus
-    tiny m x m triangular solves — the two-loop's 2m sequential dot
-    products serialize badly on TPU (measured ~29ms/step at m=10 for a
-    12.6M-element image batch vs ~2ms for this form).
+    the two-loop recursion but all large-N work is three (m, N) matmuls —
+    the two-loop's 2m sequential dot products serialize badly on TPU
+    (measured ~29 ms/step at m=10 for a 12.6M-element image batch vs ~2 ms
+    for this form).
 
-    Invalid slots (rho == 0: empty or curvature-rejected) are masked by
-    zeroing their rows and putting 1 on R's diagonal so they contribute
-    nothing.
+    The buffers stay in circular order: S@g, Y@g, S Y', Y Y' are computed
+    on the raw buffers and the chronological permutation is applied to the
+    resulting (m,) / (m, m) quantities.  Never-written slots are all-zero
+    rows, so they contribute nothing to the big matmuls; their R diagonal
+    is set to 1 so the triangular solves stay well-posed.
     """
     m = state.s_hist.shape[0]
     gamma = state.gamma
-    valid = state.rho > 0  # (m,)
+    S, Y = state.s_hist, state.y_hist
+    bufdt = S.dtype  # bf16 histories: all dots accumulate f32 on the MXU
+    gb = g.astype(bufdt)
 
-    S = jnp.where(valid[:, None], state.s_hist, 0.0)
-    Y = jnp.where(valid[:, None], state.y_hist, 0.0)
-
-    W = jnp.concatenate([S, Y], axis=0)  # (2m, N)
-    Wg = W @ g  # (2m,)
-    WWt = jax.lax.dot_general(
-        W, W, dimension_numbers=(((1,), (1,)), ((), ())),
+    Sg = jax.lax.dot_general(
+        S, gb, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (2m, 2m)
-    SY = WWt[:m, m:]  # S Y^T  (i,j) = s_i . y_j
-    YY = WWt[m:, m:]
+    )  # (m,)
+    Yg = jax.lax.dot_general(
+        Y, gb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    SY = jax.lax.dot_general(
+        S, Y, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (m, m): (i, j) = s_i . y_j   (slot order)
+    YY = jax.lax.dot_general(
+        Y, Y, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    D = jnp.diagonal(SY)
-    R = jnp.triu(SY)  # R_ij = s_i.y_j for i <= j (chronological order)
-    # invalid slots have zero rows/cols (S, Y zeroed); put 1 on R's diagonal
-    # there so the triangular solves are well-posed and contribute nothing
+    # to chronological order (tiny gathers)
+    perm = _chron_perm(state)
+    valid = state.rho[perm] > 0
+    SYc = SY[perm][:, perm]
+    YYc = YY[perm][:, perm]
+    p = jnp.where(valid, Sg[perm], 0.0)
+    q = gamma * jnp.where(valid, Yg[perm], 0.0)
+
+    D = jnp.diagonal(SYc)
+    R = jnp.triu(SYc)  # R_ij = s_i.y_j for i <= j (chronological)
     eye = jnp.eye(m, dtype=R.dtype)
     R = R + jnp.where(valid, 0.0, 1.0)[None, :] * eye
-
-    p = Wg[:m]  # S^T g
-    q = gamma * Wg[m:]  # g Y^T g
 
     from jax.scipy.linalg import solve_triangular
 
     Rinv_p = solve_triangular(R, p, lower=False)
-    DgYY = jnp.diag(D) + gamma * YY
-    top = solve_triangular(R, DgYY @ Rinv_p - q, lower=False, trans=1)
-    bot = -Rinv_p
+    DgYY = jnp.diag(D) + gamma * YYc
+    top_c = solve_triangular(R, DgYY @ Rinv_p - q, lower=False, trans=1)
+    bot_c = -Rinv_p
 
-    Hg = gamma * g + S.T @ top + gamma * (Y.T @ bot)
+    # back to slot order: slot j sits at chronological position (j-count)%m
+    inv = (jnp.arange(m, dtype=state.count.dtype) - state.count) % m
+    top = top_c[inv]
+    bot = bot_c[inv]
+
+    St = jax.lax.dot_general(
+        S, top.astype(bufdt), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # S^T top, (N,)
+    Yb = jax.lax.dot_general(
+        Y, bot.astype(bufdt), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    Hg = gamma * g + St + gamma * Yb
     return -Hg
 
 
 def _two_loop(state: LBFGSState, g: jax.Array) -> jax.Array:
-    """Two-loop recursion: approximate -H @ g."""
+    """Two-loop recursion: approximate -H @ g (reference implementation)."""
     m = state.s_hist.shape[0]
+    perm = _chron_perm(state)
     q = g
 
     def bwd(i, carry):
         q, alphas = carry
-        idx = m - 1 - i  # most recent first
+        idx = perm[m - 1 - i]  # most recent first
         valid = state.rho[idx] > 0
         alpha = state.rho[idx] * jnp.dot(state.s_hist[idx], q)
         alpha = jnp.where(valid, alpha, 0.0)
@@ -125,7 +175,8 @@ def _two_loop(state: LBFGSState, g: jax.Array) -> jax.Array:
     q, alphas = jax.lax.fori_loop(0, m, bwd, (q, jnp.zeros((m,), g.dtype)))
     r = state.gamma * q
 
-    def fwd(idx, r):
+    def fwd(i, r):
+        idx = perm[i]  # oldest first
         valid = state.rho[idx] > 0
         beta = state.rho[idx] * jnp.dot(state.y_hist[idx], r)
         upd = state.s_hist[idx] * (alphas[idx] - beta)
@@ -144,6 +195,7 @@ def lbfgs_step(
     parameters by the caller.  ``method``: 'compact' (default, fast on TPU)
     or 'two_loop' (the textbook recursion; same result, kept as reference).
     """
+    m = state.s_hist.shape[0]
     first = state.iteration == 0
 
     # curvature pair from the previous iteration
@@ -152,19 +204,25 @@ def lbfgs_step(
     ys = jnp.dot(y, s)
     accept = (~first) & (ys > 1e-10)
 
+    # circular-buffer write: overwrite slot count % m with the new pair (a
+    # single-row write), or write the existing row back on reject (no-op
+    # values, same memory shape — keeps the scan carry layout fixed)
+    w = state.count % m
+
     def push(buf, v):
-        return jnp.where(accept, jnp.concatenate([buf[1:], v[None]], axis=0), buf)
+        row = jnp.where(accept, v.astype(buf.dtype), buf[w])
+        return jax.lax.dynamic_update_slice(buf, row[None], (w, 0))
 
     s_hist = push(state.s_hist, s)
     y_hist = push(state.y_hist, y)
-    rho = jnp.where(
-        accept,
-        jnp.concatenate([state.rho[1:], (1.0 / jnp.maximum(ys, 1e-30))[None]]),
-        state.rho,
-    )
+    new_rho = jnp.where(accept, 1.0 / jnp.maximum(ys, 1e-30), state.rho[w])
+    rho = state.rho.at[w].set(new_rho)
     gamma = jnp.where(accept, ys / jnp.maximum(jnp.dot(y, y), 1e-30), state.gamma)
+    count = state.count + accept.astype(state.count.dtype)
 
-    tmp = LBFGSState(s_hist, y_hist, rho, gamma, g, state.prev_step, state.iteration)
+    tmp = LBFGSState(
+        s_hist, y_hist, rho, gamma, g, state.prev_step, state.iteration, count
+    )
     direction_fn = _compact_direction if method == "compact" else _two_loop
     d = jnp.where(first, -g, direction_fn(tmp, g))
 
@@ -180,5 +238,6 @@ def lbfgs_step(
         prev_g=g,
         prev_step=update,
         iteration=state.iteration + 1,
+        count=count,
     )
     return update, new_state

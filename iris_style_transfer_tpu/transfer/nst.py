@@ -49,6 +49,7 @@ def make_nst_fn(
     optimizer: str = "lbfgs",
     history_size: int = 10,
     lbfgs_method: str = "compact",
+    lbfgs_dtype=jnp.float32,
     pallas_gram: bool | str = "auto",
     scan_unroll: int = 1,
     history_every: int = 0,
@@ -125,7 +126,7 @@ def make_nst_fn(
         n_snaps = (epochs // history_every) if history_every else 0
 
         if optimizer == "lbfgs":
-            opt_state0 = lbfgs_init(n, history_size)
+            opt_state0 = lbfgs_init(n, history_size, dtype=lbfgs_dtype)
         elif optimizer == "adam":
             opt_state0 = (jnp.zeros((n,)), jnp.zeros((n,)))  # (m, v)
         else:
@@ -202,6 +203,7 @@ def nst(
         optimizer=optimizer,
         history_every=history_every,
         history_size=history_size,
+        scan_unroll=4,
         compute_dtype=compute_dtype,
     )
     return fn(vgg_params, c_img, s_img, noise_key)

@@ -72,7 +72,8 @@ def make_programs(
             c_loss_weight=c_w,
             s_loss_weight=s_w,
             compute_dtype=compute_dtype,
-            scan_unroll=2,
+            scan_unroll=8,
+            lbfgs_dtype=jnp.bfloat16,
         )
     )
 

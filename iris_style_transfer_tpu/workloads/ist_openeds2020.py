@@ -93,7 +93,8 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, mesh=None):
     nst_fn = jax.jit(
         make_nst_fn(
             epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
-            compute_dtype=compute_dtype, scan_unroll=2,
+            compute_dtype=compute_dtype, scan_unroll=8,
+            lbfgs_dtype=jnp.bfloat16,
         )
     )
 
