@@ -6,6 +6,10 @@ from .openeds2019 import (
     build_ist_dataset,
     sample_other,
 )
-from .openeds2020 import load_data_openeds2020
+from .openeds2020 import (
+    load_data_openeds2020,
+    load_labels_openeds2020,
+    stream_openeds2020,
+)
 from .prefetch import batch_iterator, prefetch_to_device
 from .synthetic import synthetic_eye_batch, synthetic_openeds2019

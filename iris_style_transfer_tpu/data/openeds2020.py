@@ -106,3 +106,89 @@ def load_data_openeds2020(
         flush()
 
     return np.concatenate(images), np.concatenate(labels)
+
+
+def _sequence_index(data_path: str, postfix: str, max_sequences: int | None = None):
+    """(sequence image-path lists, per-sequence labels) without decoding a
+    single frame — labels are tiny CSVs, so they always load eagerly."""
+    import pandas as pd
+
+    seq_dir = os.path.join(data_path, postfix, "sequences")
+    sequence_names = sorted(os.listdir(seq_dir))
+    if max_sequences:
+        sequence_names = sequence_names[:max_sequences]
+
+    seq_paths, labels = [], []
+    for sequence_name in sequence_names:
+        img_names = sorted(os.listdir(os.path.join(seq_dir, sequence_name)))
+        label = pd.read_csv(
+            os.path.join(data_path, postfix, "labels", sequence_name + ".txt"),
+            header=None,
+        )
+        label = label.iloc[:, 1:].to_numpy(np.float32)
+        assert len(img_names) == len(label) or len(img_names) == len(label) - 5
+        labels.append(label[: len(img_names)])
+        seq_paths.append(
+            [os.path.join(seq_dir, sequence_name, n) for n in img_names]
+        )
+    return seq_paths, labels
+
+
+def load_labels_openeds2020(
+    data_path: str, postfix: str = "test/", max_sequences: int | None = None
+) -> np.ndarray:
+    """All gaze labels of a split as one (N, 3) array (no image decode)."""
+    _, labels = _sequence_index(data_path, postfix, max_sequences)
+    return np.concatenate(labels)
+
+
+def stream_openeds2020(
+    data_path: str,
+    postfix: str = "test/",
+    batch_size: int = 128,
+    max_sequences: int | None = None,
+):
+    """Stream a split as (images (B, H, W, 1), labels (B, 3), valid (B,))
+    batches — the OpenEDS2020 sets hold up to 550K frames
+    (``appendix.pdf`` Table 5), far beyond what the reference's eager
+    materialization (``data_preprocessing.py:385-417``) allows on modest
+    hosts.  Sequences are decoded lazily through the native threaded
+    loader, holding O(batch + one sequence) frames in memory; the final
+    short batch is padded by repeating the last row with ``valid`` marking
+    real rows (the same contract as ``prefetch.batch_iterator``).
+    """
+    from PIL import Image
+
+    seq_paths, labels = _sequence_index(data_path, postfix, max_sequences)
+    if not seq_paths:
+        return
+
+    dims = np.asarray(Image.open(seq_paths[0][0]).convert("L")).shape
+    buf_imgs: list[np.ndarray] = []
+    buf_labs: list[np.ndarray] = []
+
+    def drain(final: bool):
+        nonlocal buf_imgs, buf_labs
+        while len(buf_imgs) >= batch_size:
+            yield (
+                np.stack(buf_imgs[:batch_size]),
+                np.stack(buf_labs[:batch_size]),
+                np.ones(batch_size, bool),
+            )
+            del buf_imgs[:batch_size]
+            del buf_labs[:batch_size]
+        if final and buf_imgs:
+            n = len(buf_imgs)
+            pad = batch_size - n
+            imgs = np.stack(buf_imgs + [buf_imgs[-1]] * pad)
+            labs = np.stack(buf_labs + [buf_labs[-1]] * pad)
+            valid = np.zeros(batch_size, bool)
+            valid[:n] = True
+            buf_imgs, buf_labs = [], []
+            yield imgs, labs, valid
+
+    for paths, labs in zip(seq_paths, labels):
+        buf_imgs.extend(decode_gray_batch(paths, dims[0], dims[1]))
+        buf_labs.extend(labs)
+        yield from drain(final=False)
+    yield from drain(final=True)

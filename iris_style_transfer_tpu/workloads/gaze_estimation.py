@@ -34,7 +34,13 @@ from ..models import (
 from ..ops.ellipse import extract_eye_landmarks
 from ..ops.metrics import angular_distance, cosine_embedding_loss
 from ..parallel import make_mesh
-from ..runtime import MetricLogger, StepTimer, save_checkpoint
+from ..runtime import (
+    MetricLogger,
+    StepTimer,
+    restore_state,
+    save_checkpoint,
+    save_state,
+)
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..utils import seed as seed_all
 
@@ -146,7 +152,18 @@ def gaze_estimation(
         train_step, eval_step = make_steps(cfg.estimator, optimizer)
         timer = StepTimer()
 
-        for e in range(cfg.epochs):
+        # resumable training (the reference is save-only, SURVEY §5.3-5.4)
+        ckpt_dir = f"saved/checkpoints/gaze_estimator{cfg.estimator}_lr_{lr}"
+        start_epoch = 0
+        if cfg.resume:
+            restored = restore_state(ckpt_dir, (params, opt_state, jnp.int32(0)))
+            if restored is not None:
+                start_epoch, (params, opt_state, _) = restored
+                params = jax.tree.map(jnp.asarray, params)
+                opt_state = jax.tree.map(jnp.asarray, opt_state)
+                print(f"resumed lr {lr} from epoch {start_epoch}")
+
+        for e in range(start_epoch, cfg.epochs):
             log = {}
             preds, labels = [], []
             it = batch_iterator(train, cfg.bs, shuffle=True, seed=cfg.seed + e, drop_remainder=True)
@@ -172,10 +189,9 @@ def gaze_estimation(
 
             if cfg.save_period > 0 and (e + 1) % cfg.save_period == 0:
                 save_checkpoint(
-                    f"saved/checkpoints/gaze_estimator{cfg.estimator}_lr_{lr}",
-                    e + 1,
-                    {"params": params, "step": jnp.asarray(e + 1)},
+                    ckpt_dir, e + 1, {"params": params, "step": jnp.asarray(e + 1)}
                 )
+                save_state(ckpt_dir, e + 1, (params, opt_state, jnp.int32(e + 1)))
         logger.finish()
     return final
 

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import batch_iterator, synthetic_eye_batch
-from ..data.openeds2020 import load_data_openeds2020
+from ..data.openeds2020 import (
+    load_data_openeds2020,
+    load_labels_openeds2020,
+    stream_openeds2020,
+)
 from ..models import (
     EfficientNet,
     GazeEstimator1,
@@ -145,7 +149,15 @@ def iris_style_transfer_openeds2020(
         arr = np.asarray(np.clip(np.asarray(img), 0, 1) * 255.0, np.uint8)
         Image.fromarray(arr[..., 0] if arr.ndim == 3 else arr).save(path)
 
-    for batch_id, batch in enumerate(batch_iterator((images, labels), cfg.bs, pad_final=True)):
+    # ``images`` is either a materialized array or a zero-arg factory
+    # returning a (imgs, labels, valid) batch stream (the 550K-frame
+    # OpenEDS2020 splits stream rather than materialize — SURVEY §7 hard
+    # part 5)
+    if callable(images):
+        batches = images()
+    else:
+        batches = batch_iterator((images, labels), cfg.bs, pad_final=True)
+    for batch_id, batch in enumerate(batches):
         c_imgs, labs = batch[0], batch[1]
         valid = batch[2] if len(batch) > 2 else np.ones(len(labs), bool)
         blog = {}
@@ -310,16 +322,19 @@ def main():
     for postfix in postfixes:
         print(f"loading {postfix[:-1]} set...")
         if use_real:
-            images, labels = load_data_openeds2020(
-                extract_feature=False, data_path=base + "/", postfix=postfix
-            )
+            # labels load eagerly (tiny CSVs); frames STREAM — the splits
+            # hold up to 550K 400x640 frames, far beyond host RAM at the
+            # reference's eager materialization (data_preprocessing.py:
+            # 385-417).  The factory re-creates the stream per sweep combo.
+            labels = load_labels_openeds2020(base + "/", postfix)
+            images = lambda p=postfix: stream_openeds2020(base + "/", p, cfg.bs)
         else:
             imgs, _, _ = synthetic_eye_batch(24, seed=cfg.seed)
             rng = np.random.default_rng(cfg.seed)
             labels = rng.normal(size=(24, 3)).astype(np.float32)
             labels /= np.linalg.norm(labels, axis=1, keepdims=True)
             images = imgs
-        print(f"number of samples in {postfix} set:", len(images))
+        print(f"number of samples in {postfix} set:", len(labels))
 
         for sw in args.s_loss_weights:
             for nst_epoch in args.nst_epochs:

@@ -13,7 +13,11 @@ from iris_style_transfer_tpu.data.openeds2019 import (
     _test_split_size,
     load_data_openeds2019,
 )
-from iris_style_transfer_tpu.data.openeds2020 import load_data_openeds2020
+from iris_style_transfer_tpu.data.openeds2020 import (
+    load_data_openeds2020,
+    load_labels_openeds2020,
+    stream_openeds2020,
+)
 from iris_style_transfer_tpu.utils import seed as seed_all
 
 
@@ -100,6 +104,28 @@ def fake_openeds2020(tmp_path):
             ]
             (ld / f"{seq}.txt").write_text("\n".join(rows))
     return str(base) + "/"
+
+
+def test_stream_openeds2020_matches_eager(fake_openeds2020):
+    """The streaming batch source yields the same frames/labels as the
+    eager loader, with batch_iterator's final-batch pad+valid contract."""
+    imgs, labels = load_data_openeds2020(
+        extract_feature=False, data_path=fake_openeds2020, postfix="validation/"
+    )
+    np.testing.assert_array_equal(
+        load_labels_openeds2020(fake_openeds2020, "validation/"), labels
+    )
+
+    got_imgs, got_labs, n_valid = [], [], 0
+    for bi, (bimgs, blabs, valid) in enumerate(
+        stream_openeds2020(fake_openeds2020, "validation/", batch_size=3)
+    ):
+        assert bimgs.shape[0] == 3 and blabs.shape[0] == 3 and valid.shape == (3,)
+        got_imgs.append(bimgs[valid]); got_labs.append(blabs[valid])
+        n_valid += int(valid.sum())
+    assert n_valid == len(imgs)  # 8 frames -> batches of 3, 3, 2+pad
+    np.testing.assert_array_equal(np.concatenate(got_imgs), imgs)
+    np.testing.assert_array_equal(np.concatenate(got_labs), labels)
 
 
 def test_load_openeds2020_semantics(fake_openeds2020):

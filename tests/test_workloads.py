@@ -60,7 +60,7 @@ def test_gaze_estimation_main(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(wl, "synthetic_eye_batch", _tiny_eye_batch)
     monkeypatch.setattr(sys, "argv", [
-        "gaze_estimation", "-E", "1", "-bs", "16", "-SP", "-1",
+        "gaze_estimation", "-E", "1", "-bs", "16", "-SP", "1",
         "-estimator", "1", "--data_dir", str(tmp_path / "nodata"),
     ])
     log = wl.main()
@@ -72,6 +72,17 @@ def test_gaze_estimation_main(tmp_path, monkeypatch):
         log["valid/degree_distance"],
         np.degrees(log["valid/radian_distance"]), rtol=1e-5,
     )
+    # full training state was checkpointed per lr (resumable sweeps)
+    ckpts = list((tmp_path / "saved" / "checkpoints").glob("gaze_estimator1_lr_*"))
+    assert ckpts and any(p.name.startswith("state_") for p in ckpts[0].iterdir())
+
+    # --resume continues each lr run past the checkpointed epoch
+    monkeypatch.setattr(sys, "argv", [
+        "gaze_estimation", "-E", "2", "-bs", "16", "-SP", "-1",
+        "-estimator", "1", "--data_dir", str(tmp_path / "nodata"), "--resume",
+    ])
+    log2 = wl.main()
+    assert "valid/degree_distance" in log2
 
 
 def test_ist_openeds2019_main_and_sweep_resume(tmp_path, monkeypatch):
