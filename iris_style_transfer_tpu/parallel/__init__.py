@@ -2,6 +2,7 @@
 
 from .mesh import (
     make_mesh,
+    make_multislice_mesh,
     batch_sharding,
     replicated,
     shard_batch,

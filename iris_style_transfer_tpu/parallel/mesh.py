@@ -43,9 +43,42 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_multislice_mesh(
+    n_slices: int,
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """3-axis ``(slice, data, model)`` mesh for multi-slice pods.
+
+    TPU slices talk over DCN (slow) while chips within a slice ride ICI
+    (fast); batch-sharding over ``("slice", "data")`` keeps per-step
+    gradient/metric reductions hierarchical — XLA reduces within each
+    slice over ICI first and crosses DCN once with the m-sized partial
+    (the standard multi-slice recipe).  The device-major order of
+    ``jax.devices()`` on multi-slice deployments already groups chips by
+    slice, so a plain reshape yields the right locality.  On single-slice
+    or virtual-CPU runs this is structurally identical and serves as the
+    dry-run path.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % (n_slices * model_parallel):
+        raise ValueError(
+            f"{n} devices not divisible by {n_slices} slices x {model_parallel} tp"
+        )
+    arr = np.asarray(devices).reshape(
+        n_slices, n // (n_slices * model_parallel), model_parallel
+    )
+    return Mesh(arr, ("slice", "data", "model"))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) axis over ``data``; replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over the data-parallel mesh axes
+    (``data``, plus ``slice`` on a multi-slice mesh); replicate the rest."""
+    batch_axes = [ax for ax in ("slice", "data") if ax in mesh.axis_names]
+    spec = tuple(batch_axes) if len(batch_axes) > 1 else batch_axes[0]
+    return NamedSharding(mesh, P(spec, *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

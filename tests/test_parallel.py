@@ -10,6 +10,7 @@ from iris_style_transfer_tpu.models import VGG19
 from iris_style_transfer_tpu.parallel import (
     batch_sharding,
     make_mesh,
+    make_multislice_mesh,
     mlp_tp_spec,
     replicated,
     shard_batch,
@@ -53,6 +54,32 @@ def test_sharded_nst_matches_single_device():
         np.asarray(res_single.s_loss_hist),
         np.asarray(res_sharded.s_loss_hist),
         rtol=2e-2,
+    )
+
+
+def test_multislice_mesh_nst_matches_single_device():
+    """Multi-slice (slice, data, model) mesh: the batch shards over both
+    DP axes (hierarchical ICI-then-DCN reductions on real pods); results
+    must match unsharded execution.  2 virtual slices x 4 chips here."""
+    mesh = make_multislice_mesh(n_slices=2)
+    assert mesh.devices.shape == (2, 4, 1)
+    assert mesh.axis_names == ("slice", "data", "model")
+
+    params = VGG19.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+
+    fn = jax.jit(make_nst_fn(epochs=5))
+    res_single = fn(params, c, s)
+
+    res_sharded = fn(
+        shard_params(mesh, params),
+        jax.device_put(c, batch_sharding(mesh)),
+        jax.device_put(s, batch_sharding(mesh)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_single.x), np.asarray(res_sharded.x), atol=2e-3
     )
 
 
