@@ -8,6 +8,7 @@ randomly-initialized models are distribution-compatible with the reference.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -112,16 +113,59 @@ def batchnorm_train(
     return out.astype(x.dtype), new_p
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_nonoverlap(x: jax.Array, window: int) -> jax.Array:
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h // window, window, w // window, window, c)
+    return jnp.max(xr, axis=(2, 4))
+
+
+def _max_pool_nonoverlap_fwd(x, window):
+    """Residual is a bool max mask (1 B/elt vs the 2 B/elt bf16 input
+    jnp.max's VJP would keep) — with frozen conv weights these pool/relu
+    residuals are the bulk of the NST backward's HBM residual traffic
+    (+3% steps/s at 512px, tools/perf_probe5.py).
+
+    Tie semantics: every max-achieving window element receives the full
+    cotangent.  Where the window max is unique this equals torch's
+    ``F.max_pool2d`` backward exactly.  At ties it deviates from both
+    torch (one winner) and jnp.max (even split) — a deliberate trade
+    measured to be free here: in this framework every ``max_pool`` on a
+    gradient path follows a relu, so tied-at-zero windows (the common
+    case) are killed by the upstream relu mask, making d(pool∘relu)/dx
+    torch-exact for f32; remaining bf16-quantization ties changed the
+    512px NST loss trajectory by <1e-6 relative (BASELINE.md).  Every
+    winner-selection scheme tried (uint8 argmax code, packed monotone
+    key, quadrant priority scan) cost 1-2 ms/step more than the stock
+    VJP — see tools/perf_probe5.py for the shootout.
+    """
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h // window, window, w // window, window, c)
+    y = jnp.max(xr, axis=(2, 4))
+    mask = xr == y[:, :, None, :, None, :]
+    return y, (mask, x.shape)
+
+
+def _max_pool_nonoverlap_bwd(window, res, ct):
+    mask, (b, h, w, c) = res
+    g = jnp.where(
+        mask, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+    )
+    return (g.reshape(b, h, w, c),)
+
+
+_max_pool_nonoverlap.defvjp(_max_pool_nonoverlap_fwd, _max_pool_nonoverlap_bwd)
+
+
 def max_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
     stride = stride or window
     if stride == window and x.shape[1] % window == 0 and x.shape[2] % window == 0:
         # non-overlapping pooling as reshape+max: its VJP is an elementwise
         # compare/select instead of reduce_window's SelectAndScatter, which
         # dominates backward time on TPU (the VGG NST closure spends more
-        # in pool gradients than in all the convs without this)
-        b, h, w, c = x.shape
-        xr = x.reshape(b, h // window, window, w // window, window, c)
-        return jnp.max(xr, axis=(2, 4))
+        # in pool gradients than in all the convs without this); the
+        # custom VJP keeps bool masks instead of the input as residual
+        return _max_pool_nonoverlap(x, window)
     return jax.lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,

@@ -65,6 +65,76 @@ def test_pools_match_torch():
     np.testing.assert_allclose(got, _to_nhwc(want), atol=1e-6)
 
 
+def test_max_pool_relu_composite_grad_matches_torch():
+    """grad of pool(relu(x)) must match torch exactly — this is how every
+    max_pool on a gradient path is used in the framework (VGG).  The
+    custom VJP's full-cotangent-to-ties residual trick is exact here:
+    tied-at-zero windows (the common case, relu-dead regions) are killed
+    by the upstream relu mask, and nonzero f32 maxima are unique for
+    generic inputs."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    ct = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+
+    f = lambda a: L.max_pool(jax.nn.relu(a), 2, 2)
+    y_got, vjp_got = jax.vjp(f, jnp.asarray(x))
+    g_got = vjp_got(jnp.asarray(ct))[0]
+
+    xt = torch.from_numpy(_to_nchw(x)).requires_grad_(True)
+    yt = torch.nn.functional.max_pool2d(torch.relu(xt), 2)
+    yt.backward(torch.from_numpy(_to_nchw(ct)))
+    np.testing.assert_allclose(
+        np.asarray(y_got), _to_nhwc(yt.detach().numpy()), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_got), _to_nhwc(xt.grad.numpy()), atol=1e-6
+    )
+
+
+def test_max_pool_vjp_bf16_unique_max_matches_torch():
+    """bf16 path with engineered unique-per-window values (exact in bf16):
+    grad must route the full cotangent to the single argmax, like torch."""
+    rng = np.random.default_rng(9)
+    vals = rng.permuted(
+        np.tile(np.arange(1.0, 37.0, dtype=np.float32), (2, 1)), axis=-1
+    ).reshape(2, 6, 6, 1)
+    xb = jnp.asarray(vals, jnp.bfloat16)
+    ct = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+
+    y_got, vjp_got = jax.vjp(lambda a: L.max_pool(a, 2, 2), xb)
+    g_got = np.asarray(vjp_got(jnp.asarray(ct, jnp.bfloat16))[0], np.float32)
+
+    xt = torch.from_numpy(_to_nchw(vals)).bfloat16().requires_grad_(True)
+    yt = torch.nn.functional.max_pool2d(xt, 2)
+    yt.backward(torch.from_numpy(_to_nchw(ct)).bfloat16())
+    np.testing.assert_allclose(
+        np.asarray(y_got, np.float32), _to_nhwc(yt.detach().float().numpy()), atol=0
+    )
+    np.testing.assert_allclose(g_got, _to_nhwc(xt.grad.float().numpy()), atol=1e-6)
+
+
+def test_max_pool_vjp_tie_semantics_documented():
+    """At exact nonzero ties the custom VJP sends the FULL cotangent to
+    every max-achieving element (documented deviation from torch's one
+    winner / jnp.max's even split, layers.py:_max_pool_nonoverlap_fwd;
+    measured <1e-6 relative effect on the NST trajectory, BASELINE.md)."""
+    x = jnp.asarray(
+        np.array([[2.0, 2.0], [1.0, 2.0]], np.float32).reshape(1, 2, 2, 1)
+    )
+    _, vjp = jax.vjp(lambda a: L.max_pool(a, 2, 2), x)
+    g = np.asarray(vjp(jnp.ones((1, 1, 1, 1)))[0]).reshape(2, 2)
+    np.testing.assert_allclose(g, np.array([[1.0, 1.0], [0.0, 1.0]]))
+
+
+def test_max_pool_vjp_under_vmap_and_odd_window():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((3, 2, 12, 12, 2)).astype(np.float32)
+    f = lambda a: jnp.sum(L.max_pool(a, 3, 3) ** 2)
+    got = jax.vmap(jax.grad(f))(jnp.asarray(x))
+    want = np.stack([np.asarray(jax.grad(f)(jnp.asarray(xi))) for xi in x])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
 def test_upsample_nearest_matches_torch():
     rng = np.random.default_rng(3)
     x = rng.standard_normal((1, 5, 7, 2)).astype(np.float32)
