@@ -97,15 +97,19 @@ class VGG19:
 
     @staticmethod
     def init(key: jax.Array, dtype=jnp.float32, bn: bool = False) -> dict:
-        """Deterministic seeded init (torch conv defaults); used when
-        pretrained torchvision weights are unavailable (zero egress).
+        """Deterministic seeded init; used when pretrained torchvision
+        weights are unavailable (zero egress).  He (kaiming-normal) rather
+        than torch's conv default: the reference only ever runs this shell
+        with IMAGENET1K_V1 weights (``vgg.py:39-48``) whose activations
+        are O(1) at every tap, and He init is what keeps a 16-conv stack's
+        features depth-stable (see ``layers.init_conv_he``).
         ``bn=True`` builds the vgg19_bn variant (reference ``vgg.py:38-41``)."""
         params = {}
         cin = 3
         keys = jax.random.split(key, len(CONV_NAMES))
         for k, name in zip(keys, CONV_NAMES):
             cout = _CFG_CHANNELS[name]
-            params[name] = L.init_conv(k, 3, 3, cin, cout, dtype)
+            params[name] = L.init_conv_he(k, 3, 3, cin, cout, dtype)
             if bn:
                 params["bn" + name[4:]] = L.init_batchnorm(cout, dtype)
             cin = cout

@@ -1,0 +1,214 @@
+"""End-to-end scientific replication on the synthetic OpenEDS2019 twin.
+
+The real datasets are licensed and absent, and the pretrained torchvision
+VGG19 is download-gated (zero egress), so the reference's *numbers* cannot
+be reproduced here — but its experimental *loop* and directional claims
+can (reference ``readme.md:3-4``; ``iris_style_transfer_openeds2019.py``):
+
+  0. Train RITnet on the synthetic twin's ground-truth segmentations.
+     (The reference's bundled RITnet was itself trained on OpenEDS2019 —
+     ``models/ritnet/ritnet.py:17,30`` — so the twin's faithful analog is
+     a RITnet trained on the twin: the real-data checkpoint segments
+     synthetic eyes at iris IoU 0.07-0.56, destroying the identity
+     signal before the classifiers ever see it.)
+  1. Train Classifier1 (CNN features) and Classifier2 (style features)
+     on masked-iris crops until they identify users well above chance
+     (reference ``iris_classification.py:12-113``).
+  2. Run the full IST privacy pipeline on the held-out test split:
+     pre-NST classification -> masked-iris joint-batch NST -> composite
+     -> post-NST classification -> RITnet re-segmentation IoU
+     (reference ``iris_style_transfer_openeds2019.py:13-199``).
+  3. Check the paper's directional claims: post-NST identification
+     accuracy collapses toward chance while segmentation IoU is
+     preserved (privacy with retained utility).
+
+One coherent dataset (same users/textures) drives all stages; the
+classifier stage goes through the real workload main (checkpoints
+included) and the IST stage loads those checkpoints exactly like the
+reference driver does.
+
+    python tools/replicate_synthetic.py \
+        [--epochs 200 --users 8 --n_per_user 24 --bs 16 --lr 1e-4 \
+         --nst_epochs 200 --out results]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def train_ritnet(train_x, train_m, *, epochs, bs=4, lr=1e-3, seed=7):
+    """Train RITnet from scratch on (frames, GT segs); returns params and
+    final train mIoU.  CE loss, Adam — the twin's geometry is easy, so a
+    plain objective reaches ~0.9 mIoU in a few hundred steps."""
+    import optax
+
+    from iris_style_transfer_tpu.models import RITnet
+    from iris_style_transfer_tpu.ops.metrics import iou_per_class
+
+    xs = np.stack(train_x)
+    ys = np.stack(train_m).astype(np.int32)
+    n = len(xs)
+
+    # the CLAHE+gamma transform only touches inputs (no grad through it) —
+    # precompute once instead of re-running the sort-based CLAHE per step
+    pre = jax.jit(RITnet.transform)
+    xs_t = np.concatenate(
+        [np.asarray(pre(jnp.asarray(xs[i : i + 8]))) for i in range(0, n, 8)]
+    )
+
+    params = RITnet.init(jax.random.PRNGKey(seed))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = RITnet.forward(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    loss = None
+    for e in range(epochs):
+        order = rng.permutation(n)
+        for i in range(0, n - bs + 1, bs):
+            idx = order[i : i + bs]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(xs_t[idx]), jnp.asarray(ys[idx])
+            )
+        if (e + 1) % 5 == 0:
+            print(f"  ritnet epoch {e + 1}/{epochs} loss {float(loss):.4f}")
+
+    seg = np.concatenate(
+        [
+            np.asarray(RITnet.apply(params, jnp.asarray(xs[i : i + 8])))
+            for i in range(0, n, 8)
+        ]
+    )
+    _, miou = iou_per_class(jnp.asarray(seg), jnp.asarray(ys))
+    return params, float(np.nanmean(np.asarray(miou)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ritnet_epochs", type=int, default=30)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--users", type=int, default=8)
+    ap.add_argument("--n_per_user", type=int, default=24)
+    ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--ist_bs", type=int, default=8)
+    ap.add_argument("--nst_epochs", type=int, default=200)
+    ap.add_argument("--s_loss_weight", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", type=str, default="")
+    args = ap.parse_args()
+
+    from iris_style_transfer_tpu.data import build_ist_dataset
+    from iris_style_transfer_tpu.data.synthetic import synthetic_openeds2019
+    from iris_style_transfer_tpu.models import RITnet, VGG19
+    from iris_style_transfer_tpu.parallel import make_mesh, shard_params
+    from iris_style_transfer_tpu.runtime import MetricLogger, restore_params
+    from iris_style_transfer_tpu.runtime.config import WorkloadConfig
+    from iris_style_transfer_tpu.utils import prepare_dir, seed as seed_all
+    from iris_style_transfer_tpu.workloads import iris_classification as wl_ic
+    from iris_style_transfer_tpu.workloads.ist_openeds2019 import (
+        iris_style_transfer_openeds2019,
+    )
+
+    data = synthetic_openeds2019(
+        n_per_user=args.n_per_user, num_users=args.users, seed=args.seed
+    )
+    train_x, train_y, train_m, test_x, test_y, test_m, num_class = data
+    print(f"synthetic twin: {len(train_x)} train / {len(test_x)} test, "
+          f"{num_class} users")
+
+    # ---- stage 0: RITnet on the twin (see module docstring) ----
+    ritnet_params, ritnet_miou = train_ritnet(
+        train_x, train_m, epochs=args.ritnet_epochs
+    )
+    print(f"ritnet trained on the twin: train mIoU {ritnet_miou:.4f}")
+    # reroute every pretrained-RITnet consumer (the classification
+    # workload calls RITnet.pretrained() internally) to the twin-trained
+    # weights for the rest of this process
+    RITnet.pretrained = staticmethod(
+        lambda dtype=jnp.float32: ritnet_params
+    )
+
+    # ---- stage 1: train the classifiers through the real workload ----
+    cfg = WorkloadConfig(
+        project="replicate-synthetic", epochs=args.epochs, bs=args.bs,
+        lr=args.lr, seed=args.seed, save_period=args.epochs,
+    )
+    wl_ic._load_data = lambda _cfg: data  # same twin for both stages
+    cls_metrics = wl_ic.iris_classification(cfg)
+    print("classifier training:",
+          {k: round(v, 4) for k, v in cls_metrics.items() if "/accu" in k})
+
+    # ---- stage 2: the IST privacy pipeline on the held-out split ----
+    # same seed -> identical VGG init as the training stage used
+    key = seed_all(args.seed)
+    _, k_vgg, _, _, _ = jax.random.split(key, 5)
+    vgg_params = VGG19.init(k_vgg)
+    heads = restore_params("saved/checkpoints/iris_classification")
+    mesh = make_mesh(model_parallel=1)
+    vgg_params, ritnet_sharded, c1_params, c2_params = (
+        shard_params(mesh, p)
+        for p in (vgg_params, ritnet_params, heads["c1"], heads["c2"])
+    )
+
+    dataset = build_ist_dataset(test_x, test_y, test_m, ritnet_sharded,
+                                cfg.glint_threshold)
+    save_dir = "saved/replicate_synthetic/test/"
+    prepare_dir(save_dir, idempotent=True)
+    cfg.bs = args.ist_bs
+    logger = MetricLogger(cfg.project, f"replicate seed {args.seed}",
+                          cfg.to_dict())
+    log = iris_style_transfer_openeds2019(
+        cfg, dataset, vgg_params, ritnet_sharded, c1_params, c2_params,
+        cfg.c_loss_weight, args.s_loss_weight, args.nst_epochs, "test/",
+        save_dir, logger, num_class=num_class, mesh=mesh,
+    )
+    logger.finish()
+
+    pre_miou = float(np.nanmean(dataset.mious))
+    summary = {
+        "ritnet/train_miou": ritnet_miou,
+        "train/c1/accu": cls_metrics["train/c1/accu"],
+        "train/c2/accu": cls_metrics["train/c2/accu"],
+        "test/c1/accu": cls_metrics["test/c1/accu"],
+        "test/c2/accu": cls_metrics["test/c2/accu"],
+        "ist/pre/c1/accu": log["test/pre/c1/accu"],
+        "ist/pre/c2/accu": log["test/pre/c2/accu"],
+        "ist/post/c1/accu": log["test/post/c1/accu"],
+        "ist/post/c2/accu": log["test/post/c2/accu"],
+        "ist/post/c1/mis/accu": log["test/post/c1/mis/accu"],
+        "ist/post/c2/mis/accu": log["test/post/c2/mis/accu"],
+        "ist/pre/mean_miou": pre_miou,
+        "ist/post/mean_miou": log["test/post/mean_miou"],
+        "chance": 1.0 / num_class,
+        "stylized_images_per_min": log["test/stylized_images_per_min"],
+    }
+    summary = {k: float(v) for k, v in summary.items()}
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        with open(args.out + ".json", "w") as fh:
+            json.dump(summary, fh, indent=2)
+    return summary
+
+
+if __name__ == "__main__":
+    main()
