@@ -19,9 +19,19 @@ def synthetic_eye_batch(
     width: int = 640,
     num_users: int = 8,
     seed: int = 0,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    gaze: bool = False,
+):
     """Returns (images (N, H, W, 1) float32 [0,1], seg labels (N, H, W)
-    int32 in {0 bg, 1 sclera, 2 iris, 3 pupil}, user labels (N,) int32)."""
+    int32 in {0 bg, 1 sclera, 2 iris, 3 pupil}, user labels (N,) int32).
+
+    ``gaze=True`` additionally returns unit gaze vectors (N, 3) and moves
+    the iris/pupil inside the sclera according to them (an eyeball model:
+    the normalized iris-center offset from the eye center IS the gaze's
+    x/y component, the OpenEDS2020 signal the 19-d landmark features —
+    normalized pupil position, eye corners — are built to recover;
+    reference ``gaze_estimators.py:154-174``).  With ``gaze=False`` the
+    RNG stream and outputs are bit-identical to the historical generator
+    (seeded datasets and tests stay stable)."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     imgs = np.empty((n, height, width, 1), np.float32)
@@ -32,6 +42,14 @@ def synthetic_eye_batch(
     tex_freq = rng.uniform(0.05, 0.3, size=(num_users, 2)).astype(np.float32)
     tex_phase = rng.uniform(0, 6.28, size=(num_users, 2)).astype(np.float32)
 
+    if gaze:
+        # gaze direction: normalized offsets in [-1, 1]^2, z forward
+        offs = rng.uniform(-1.0, 1.0, size=(n, 2)).astype(np.float32)
+        gazes = np.concatenate(
+            [offs * 0.45, -np.ones((n, 1), np.float32)], axis=1
+        )
+        gazes /= np.linalg.norm(gazes, axis=1, keepdims=True)
+
     for i in range(n):
         u = users[i]
         cx = width / 2 + rng.uniform(-40, 40)
@@ -39,9 +57,16 @@ def synthetic_eye_batch(
         sclera_a, sclera_b = rng.uniform(200, 260), rng.uniform(90, 130)
         iris_r = rng.uniform(55, 80)
         pupil_r = iris_r * rng.uniform(0.3, 0.5)
+        if gaze:
+            # iris center displaced from the eye center by the gaze's x/y
+            # offset, scaled so the iris stays inside the sclera ellipse
+            icx = cx + offs[i, 0] * 0.45 * (sclera_a - iris_r)
+            icy = cy + offs[i, 1] * 0.45 * (sclera_b - iris_r)
+        else:
+            icx, icy = cx, cy
 
         d_scl = ((xx - cx) / sclera_a) ** 2 + ((yy - cy) / sclera_b) ** 2
-        d_iris = (xx - cx) ** 2 + (yy - cy) ** 2
+        d_iris = (xx - icx) ** 2 + (yy - icy) ** 2
         seg = np.zeros((height, width), np.int32)
         seg[d_scl <= 1.0] = 1
         seg[d_iris <= iris_r**2] = 2
@@ -49,7 +74,7 @@ def synthetic_eye_batch(
 
         img = np.full((height, width), 0.35, np.float32)
         img[seg == 1] = 0.85
-        theta = np.arctan2(yy - cy, xx - cx)
+        theta = np.arctan2(yy - icy, xx - icx)
         rr = np.sqrt(d_iris)
         texture = 0.35 + 0.18 * np.sin(tex_freq[u, 0] * rr + tex_phase[u, 0]) * np.cos(
             8 * theta * tex_freq[u, 1] * 10 + tex_phase[u, 1]
@@ -57,14 +82,16 @@ def synthetic_eye_batch(
         img = np.where(seg == 2, texture.astype(np.float32), img)
         img[seg == 3] = 0.05
         # glint: a small bright spot on the iris
-        gx = cx + rng.uniform(-iris_r / 2, iris_r / 2)
-        gy = cy + rng.uniform(-iris_r / 2, iris_r / 2)
+        gx = icx + rng.uniform(-iris_r / 2, iris_r / 2)
+        gy = icy + rng.uniform(-iris_r / 2, iris_r / 2)
         glint = np.exp(-(((xx - gx) ** 2 + (yy - gy) ** 2) / 18.0))
         img = np.clip(img + glint.astype(np.float32), 0.0, 1.0)
         img += rng.normal(0, 0.01, img.shape).astype(np.float32)
         imgs[i, ..., 0] = np.clip(img, 0.0, 1.0)
         segs[i] = seg
 
+    if gaze:
+        return imgs, segs, users, gazes
     return imgs, segs, users
 
 

@@ -46,15 +46,15 @@ from ..utils import seed as seed_all
 
 
 def _synthetic_gaze(n, estimator, seed=0):
-    """Synthetic (features, gaze) pairs shaped like the 2020 loader output."""
-    rng = np.random.default_rng(seed)
-    imgs, segs, _ = synthetic_eye_batch(n, seed=seed)
+    """Synthetic (features, gaze) pairs shaped like the 2020 loader
+    output.  The twin's gaze is geometric (iris offset inside the sclera,
+    ``data/synthetic.py``), so the landmark features genuinely predict it
+    — estimator training converges instead of fitting noise."""
+    imgs, segs, _, gaze = synthetic_eye_batch(n, seed=seed, gaze=True)
     if estimator == 1:
         feats = np.asarray(jax.vmap(extract_eye_landmarks)(jnp.asarray(segs)))
     else:
         feats = imgs
-    gaze = rng.normal(size=(n, 3)).astype(np.float32)
-    gaze /= np.linalg.norm(gaze, axis=1, keepdims=True)
     return feats, gaze
 
 

@@ -329,10 +329,9 @@ def main():
             labels = load_labels_openeds2020(base + "/", postfix)
             images = lambda p=postfix: stream_openeds2020(base + "/", p, cfg.bs)
         else:
-            imgs, _, _ = synthetic_eye_batch(24, seed=cfg.seed)
-            rng = np.random.default_rng(cfg.seed)
-            labels = rng.normal(size=(24, 3)).astype(np.float32)
-            labels /= np.linalg.norm(labels, axis=1, keepdims=True)
+            # the twin's gaze is geometric (iris offset inside the sclera,
+            # data/synthetic.py) — labels an estimator can actually predict
+            imgs, _, _, labels = synthetic_eye_batch(24, seed=cfg.seed, gaze=True)
             images = imgs
         print(f"number of samples in {postfix} set:", len(labels))
 

@@ -139,3 +139,32 @@ def test_load_openeds2020_semantics(fake_openeds2020):
         extract_feature=False, data_path=fake_openeds2020, postfix="test/"
     )
     assert imgs_t.shape[0] == 8 and labels_t.shape == (8, 3)
+
+
+def test_synthetic_gaze_mode():
+    """gaze=True returns unit gaze vectors whose x/y components match the
+    iris offset inside the sclera (the geometric signal the landmark
+    features recover); gaze=False keeps the historical RNG stream."""
+    from iris_style_transfer_tpu.data.synthetic import synthetic_eye_batch
+
+    # native 400x640 frames: the ellipse axes are in native pixels, so
+    # tiny frames clip the sclera and degenerate the geometry
+    imgs, segs, users, gaze = synthetic_eye_batch(16, seed=5, gaze=True)
+    assert gaze.shape == (16, 3)
+    np.testing.assert_allclose(np.linalg.norm(gaze, axis=1), 1.0, atol=1e-5)
+    assert (gaze[:, 2] < 0).all()
+
+    # iris-centroid offset from the eye (sclera) centroid tracks gaze x/y
+    for i in range(16):
+        ys, xs = np.nonzero(segs[i] >= 2)
+        sy, sx = np.nonzero(segs[i] >= 1)
+        dx, dy = xs.mean() - sx.mean(), ys.mean() - sy.mean()
+        if abs(gaze[i, 0]) > 0.1:
+            assert np.sign(dx) == np.sign(gaze[i, 0]), i
+        if abs(gaze[i, 1]) > 0.1:
+            assert np.sign(dy) == np.sign(gaze[i, 1]), i
+
+    # gaze=False output unchanged by the feature's existence
+    a = synthetic_eye_batch(4, height=64, width=64, seed=9)
+    b = synthetic_eye_batch(4, height=64, width=64, seed=9, gaze=False)
+    np.testing.assert_array_equal(a[0], b[0])

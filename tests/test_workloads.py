@@ -35,7 +35,8 @@ def _tiny_openeds2019(n_per_user=6, num_users=3, seed=0, **_):
 def _tiny_eye_batch(n, *args, **kwargs):
     kwargs.pop("height", None); kwargs.pop("width", None)
     return synthetic_eye_batch(n, height=TINY_H, width=TINY_W,
-                               seed=kwargs.get("seed", 0))
+                               seed=kwargs.get("seed", 0),
+                               gaze=kwargs.get("gaze", False))
 
 
 def test_iris_classification_main(tmp_path, monkeypatch):
