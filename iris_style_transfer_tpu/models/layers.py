@@ -33,22 +33,23 @@ def init_conv(key, kh, kw, cin, cout, dtype=jnp.float32) -> Params:
 
 
 def init_conv_he(key, kh, kw, cin, cout, dtype=jnp.float32) -> Params:
-    """Kaiming-normal (fan_in, relu gain sqrt(2)) conv init.
+    """Kaiming-normal (fan_out, relu gain sqrt(2)) conv init, zero bias —
+    exactly torchvision's ``_initialize_weights`` for VGG and ResNet.
 
     Used for the *seeded fallback* of shells the reference only ever runs
-    with pretrained weights (VGG19 etc. — reference ``models/vgg/vgg.py:
-    39-48`` always loads IMAGENET1K_V1, whose activations are O(1) at
-    every depth).  torch's default conv init (``init_conv``) loses ~2x
-    activation variance per conv+relu layer, so 16 layers in, features
-    are ~100x too small and anything trained on top of them (the
-    classifier heads) is hopelessly ill-conditioned; He init keeps the
-    seeded shell's feature scale depth-stable like the pretrained one."""
-    fan_in = kh * kw * cin
-    kw_, kb_ = jax.random.split(key)
-    w = jax.random.normal(kw_, (kh, kw, cin, cout), dtype) * math.sqrt(2.0 / fan_in)
-    bound_b = math.sqrt(1.0 / fan_in)  # torch keeps the default bias init
-    b = jax.random.uniform(kb_, (cout,), dtype, -bound_b, bound_b)
-    return {"w": w, "b": b}
+    with pretrained weights (``models/vgg/vgg.py:39-48`` always loads
+    IMAGENET1K_V1, ``models/resnet/resnet.py:18`` V2 — both with O(1)
+    activations at every depth).  torch's *default* conv init
+    (``init_conv``, kaiming_uniform a=sqrt(5)) loses ~2x activation
+    variance per conv+relu layer, so 16 layers in, features are ~100x too
+    small and anything trained on top of them (the classifier heads, the
+    appearance-based gaze estimator) is hopelessly ill-conditioned; He
+    init keeps the seeded shell's feature scale depth-stable like the
+    pretrained one — and is what torchvision itself draws when these
+    models are constructed without weights."""
+    fan_out = kh * kw * cout
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype) * math.sqrt(2.0 / fan_out)
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
 
 
 def init_linear(key, din, dout, dtype=jnp.float32) -> Params:

@@ -25,16 +25,16 @@ EXPANSION = 4
 def _init_bottleneck(key, cin, width, stride, dtype):
     ks = jax.random.split(key, 4)
     p = {
-        "conv1": L.init_conv(ks[0], 1, 1, cin, width, dtype),
+        "conv1": L.init_conv_he(ks[0], 1, 1, cin, width, dtype),
         "bn1": L.init_batchnorm(width, dtype),
-        "conv2": L.init_conv(ks[1], 3, 3, width, width, dtype),
+        "conv2": L.init_conv_he(ks[1], 3, 3, width, width, dtype),
         "bn2": L.init_batchnorm(width, dtype),
-        "conv3": L.init_conv(ks[2], 1, 1, width, width * EXPANSION, dtype),
+        "conv3": L.init_conv_he(ks[2], 1, 1, width, width * EXPANSION, dtype),
         "bn3": L.init_batchnorm(width * EXPANSION, dtype),
     }
     if stride != 1 or cin != width * EXPANSION:
         p["downsample"] = {
-            "conv": L.init_conv(ks[3], 1, 1, cin, width * EXPANSION, dtype),
+            "conv": L.init_conv_he(ks[3], 1, 1, cin, width * EXPANSION, dtype),
             "bn": L.init_batchnorm(width * EXPANSION, dtype),
         }
     return p
@@ -55,10 +55,14 @@ def _bottleneck(p, x, stride):
 class ResNet50:
     @staticmethod
     def init(key: jax.Array, dtype=jnp.float32) -> dict:
+        """Seeded fallback in torchvision's own random-init distribution
+        (kaiming-normal fan_out, bias-free convs — ``layers.init_conv_he``
+        zero bias ≡ torchvision's ``bias=False``); the reference always
+        loads IMAGENET1K_V2 (``models/resnet/resnet.py:18``)."""
         keys = jax.random.split(key, 20)
         ki = iter(keys)
         params = {
-            "conv1": L.init_conv(next(ki), 7, 7, 3, 64, dtype),
+            "conv1": L.init_conv_he(next(ki), 7, 7, 3, 64, dtype),
             "bn1": L.init_batchnorm(64, dtype),
         }
         cin = 64

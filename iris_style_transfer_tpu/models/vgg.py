@@ -98,11 +98,12 @@ class VGG19:
     @staticmethod
     def init(key: jax.Array, dtype=jnp.float32, bn: bool = False) -> dict:
         """Deterministic seeded init; used when pretrained torchvision
-        weights are unavailable (zero egress).  He (kaiming-normal) rather
-        than torch's conv default: the reference only ever runs this shell
-        with IMAGENET1K_V1 weights (``vgg.py:39-48``) whose activations
-        are O(1) at every tap, and He init is what keeps a 16-conv stack's
-        features depth-stable (see ``layers.init_conv_he``).
+        weights are unavailable (zero egress).  torchvision's own
+        ``_initialize_weights`` distribution (kaiming-normal fan_out,
+        zero bias) rather than torch's layer default: the reference only
+        ever runs this shell with IMAGENET1K_V1 weights (``vgg.py:39-48``)
+        whose activations are O(1) at every tap, and He init is what keeps
+        a 16-conv stack's features depth-stable (``layers.init_conv_he``).
         ``bn=True`` builds the vgg19_bn variant (reference ``vgg.py:38-41``)."""
         params = {}
         cin = 3

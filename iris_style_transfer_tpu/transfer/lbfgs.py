@@ -128,10 +128,14 @@ def _compact_direction(state: LBFGSState, g: jax.Array) -> jax.Array:
     p = jnp.where(valid, Sg[perm], 0.0)
     q = gamma * jnp.where(valid, Yg[perm], 0.0)
 
-    D = jnp.diagonal(SYc)
-    R = jnp.triu(SYc)  # R_ij = s_i.y_j for i <= j (chronological)
-    eye = jnp.eye(m, dtype=R.dtype)
-    R = R + jnp.where(valid, 0.0, 1.0)[None, :] * eye
+    # the R/D diagonal is y_i.s_i — take it from the f32 value pair
+    # acceptance used (stored as 1/rho) rather than the buffer-dtype dot:
+    # with bf16 histories a near-cancelling accepted pair (f32 y.s ~ 1e-4)
+    # can quantize to a zero or negative bf16 diagonal, making the
+    # triangular solve singular and the direction NaN; never-written slots
+    # get 1 so the solves stay well-posed (their rows are all-zero)
+    D = jnp.where(valid, 1.0 / jnp.maximum(state.rho[perm], 1e-30), 1.0)
+    R = jnp.triu(SYc, k=1) + jnp.diag(D)  # R_ij = s_i.y_j, i <= j (chron.)
 
     from jax.scipy.linalg import solve_triangular
 

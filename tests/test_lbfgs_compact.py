@@ -37,3 +37,25 @@ def test_compact_equals_two_loop():
     t_cmp = _run(loss, x0, 25, "compact")
     scale = np.abs(t_two).max()
     np.testing.assert_allclose(t_cmp, t_two, atol=2e-3 * scale)
+
+
+def test_compact_bf16_near_cancelling_pair_stays_finite():
+    """Regression: with bfloat16 history buffers, an accepted
+    near-cancelling pair (f32 y.s ~ 1e-4 > 1e-10) quantizes to a zero
+    bf16 diagonal in S Y', which made the compact form's triangular solve
+    singular and the direction NaN — inside the NST scan the NaN image
+    then poisoned every remaining closure.  The R/D diagonal now comes
+    from the f32 y.s the acceptance test used (lbfgs.py)."""
+    state = lbfgs_init(4, 3, dtype=jnp.bfloat16)
+    # fabricate the previous iteration: s = [1, -1+1e-4, 0, 0] rounds to
+    # [1, -1, 0, 0] in bf16, so the buffer dot s.y becomes exactly 0
+    s = jnp.array([1.0, -1.0 + 1e-4, 0.0, 0.0])
+    state = state._replace(
+        prev_g=jnp.zeros(4), prev_step=s, iteration=jnp.int32(1)
+    )
+    g = jnp.array([1.0, 1.0, 0.0, 0.0])  # y = g - prev_g -> f32 y.s = 1e-4
+    upd, state = lbfgs_step(state, g, method="compact")
+    assert np.isfinite(np.asarray(upd)).all()
+    assert int(state.count) == 1  # the pair WAS accepted
+    upd2, _ = lbfgs_step(state, jnp.array([0.5, -0.3, 0.2, 0.1]), method="compact")
+    assert np.isfinite(np.asarray(upd2)).all()
