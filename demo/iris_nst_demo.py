@@ -43,11 +43,14 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
 
-    # the notebook's real eye-crop pair, when present (read-only)
+    # the notebook's real eye-crop pair, when present (read-only); only
+    # fill in what the user did NOT supply — a user --style must never be
+    # silently replaced
     ref_imgs = "/root/reference/images"
     if not args.content and os.path.exists(f"{ref_imgs}/000000339816.png"):
         args.content = f"{ref_imgs}/000000339816.png"
-        args.style = f"{ref_imgs}/000000240703.png"
+        if not args.style:
+            args.style = f"{ref_imgs}/000000240703.png"
         print(f"using reference eye crops from {ref_imgs}")
 
     def load(path, seed):

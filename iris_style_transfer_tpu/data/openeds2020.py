@@ -34,8 +34,11 @@ def load_data_openeds2020(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (images-or-features, gaze labels).  Images are (N, 400, 640,
     1) float32; features are (N, 19) landmarks (estimator 1) or (N, 2048)
-    ResNet features (estimator 2)."""
-    import pandas as pd
+    ResNet features (estimator 2).
+
+    The sequence walk and label-parsing rules (sorted dirs, drop index
+    column, the test-set 5-extra-rows tolerance) live in ONE place,
+    :func:`_sequence_index` — shared with the streaming loader."""
     from PIL import Image
 
     from ..models.efficientnet import EfficientNet
@@ -59,12 +62,9 @@ def load_data_openeds2020(
                 rgb = jnp.repeat(batch, 3, axis=-1)
                 return ResNet50.apply(resnet_params, rgb)
 
-    images, labels = [], []
-    seq_dir = os.path.join(data_path, postfix, "sequences")
-    sequence_names = sorted(os.listdir(seq_dir))
-    if max_sequences:
-        sequence_names = sequence_names[:max_sequences]
+    seq_paths, labels = _sequence_index(data_path, postfix, max_sequences)
 
+    images: list[np.ndarray] = []
     pending: list[np.ndarray] = []
 
     def flush():
@@ -81,21 +81,11 @@ def load_data_openeds2020(
         pending.clear()
 
     dims = None
-    for sequence_name in sequence_names:
-        img_names = sorted(os.listdir(os.path.join(seq_dir, sequence_name)))
-        label = pd.read_csv(
-            os.path.join(data_path, postfix, "labels", sequence_name + ".txt"), header=None
-        )
-        label = label.iloc[:, 1:].to_numpy(np.float32)  # drop index column
-        # train/valid: equal; test: labels 5 frames longer (:399)
-        assert len(img_names) == len(label) or len(img_names) == len(label) - 5
-        labels.append(label[: len(img_names)])
-
-        seq_paths = [os.path.join(seq_dir, sequence_name, n) for n in img_names]
+    for paths in seq_paths:
         if dims is None:
-            dims = np.asarray(Image.open(seq_paths[0]).convert("L")).shape
+            dims = np.asarray(Image.open(paths[0]).convert("L")).shape
         # native threaded decode of the whole sequence (PIL fallback inside)
-        arrs = decode_gray_batch(seq_paths, dims[0], dims[1])
+        arrs = decode_gray_batch(paths, dims[0], dims[1])
         if extract_feature:
             pending.extend(arrs)
             if len(pending) >= 4 * chunk:

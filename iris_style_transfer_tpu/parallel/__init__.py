@@ -3,6 +3,7 @@
 from .mesh import (
     make_mesh,
     make_multislice_mesh,
+    make_stager,
     batch_sharding,
     replicated,
     shard_batch,

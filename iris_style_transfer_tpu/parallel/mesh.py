@@ -81,6 +81,23 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     return NamedSharding(mesh, P(spec, *([None] * (ndim - 1))))
 
 
+def make_stager(mesh: Mesh | None):
+    """Host array -> device placement function.  With a mesh, every array
+    is batch-sharded over the mesh's batch axes (``batch_sharding``); with
+    ``None`` it is a plain ``jnp.asarray``.  Shared by the IST workload
+    drivers (reference ``iris_style_transfer_openeds2019.py:93-136`` runs
+    single-GPU; here the whole pipeline is batch-parallel)."""
+    if mesh is None:
+        return jnp.asarray
+
+    def stage(a):
+        if not isinstance(a, jax.Array):
+            a = np.asarray(a)
+        return jax.device_put(a, batch_sharding(mesh, a.ndim))
+
+    return stage
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

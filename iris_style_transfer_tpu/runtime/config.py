@@ -75,9 +75,11 @@ def add_common_args(parser: argparse.ArgumentParser, defaults: WorkloadConfig) -
     p.add_argument("--resume", action=argparse.BooleanOptionalAction, default=defaults.resume)
 
 
-def parse_config(parser: argparse.ArgumentParser, defaults: WorkloadConfig) -> WorkloadConfig:
+def parse_config(parser: argparse.ArgumentParser, defaults: WorkloadConfig):
+    """Parse sys.argv ONCE; returns ``(cfg, args)`` so workload mains can
+    read their extra flags from the same parse instead of re-parsing."""
     args = parser.parse_args()
     cfg = WorkloadConfig(**{
         k: getattr(args, k) for k in defaults.to_dict() if hasattr(args, k)
     })
-    return cfg
+    return cfg, args

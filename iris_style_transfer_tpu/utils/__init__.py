@@ -3,4 +3,4 @@
 Reference: ``utils.py:19-42,112-161``.
 """
 
-from .misc import seed, prepare_dir, plot_help
+from .misc import seed, prepare_dir, plot_help, sweep_done, write_sweep_marker

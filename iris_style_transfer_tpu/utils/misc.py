@@ -13,6 +13,7 @@ an ``idempotent`` mode keeps existing outputs for resumable sweeps
 
 from __future__ import annotations
 
+import json
 import os
 import random
 import shutil
@@ -61,3 +62,29 @@ def plot_help(images, titles, figsize=None, grayscale: bool = True, axis_off: bo
         if axis_off:
             a.axis("off")
     plt.show()
+
+
+def sweep_done(marker_path: str, config: dict) -> bool:
+    """True if a sweep-completion marker exists AND was written under the
+    same configuration.  A marker from a run with a different seed / batch
+    size / weights must NOT cause a skip — it would silently suppress the
+    new configuration's results (the combo directory is keyed only by
+    (s_loss_weight, nst_epoch, split))."""
+    if not os.path.exists(marker_path):
+        return False
+    try:
+        with open(marker_path) as fh:
+            data = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        return False
+    return data.get("config") == config
+
+
+def write_sweep_marker(marker_path: str, config: dict, metrics: dict) -> None:
+    """Write a done.json carrying both the completed combo's metrics and
+    the configuration identity :func:`sweep_done` checks."""
+    with open(marker_path, "w") as fh:
+        json.dump(
+            {"config": config, "metrics": {k: float(v) for k, v in metrics.items()}},
+            fh,
+        )

@@ -103,20 +103,26 @@ def gaze_estimation(
     base = os.path.join(cfg.data_dir, "openeds2020", "openEDS2020-GazePrediction")
     use_real = os.path.isdir(base)
 
+    # load each checkpoint ONCE (the B7 npz is hundreds of MB; per-split /
+    # per-lr reloads would repeat the full np.load+unflatten)
+    extract = cfg.estimator == 1
+    eff = (
+        load_pretrained(
+            "efficientnet_unet", effnet_weights,
+            lambda: EfficientNet.init(jax.random.PRNGKey(0)),
+        )
+        if use_real and extract
+        else None
+    )
+    resnet_pre = None
+    if cfg.estimator == 2 and (resnet_weights or pretrained_path("resnet50")):
+        resnet_pre = load_pretrained("resnet50", resnet_weights, lambda: None)
+
     def load(postfix):
         if use_real:
-            extract = cfg.estimator == 1
             # landmark extraction segments frames with the pretrained
             # EfficientNet when ported weights exist (reference
             # data_preprocessing.py:378-383)
-            eff = (
-                load_pretrained(
-                    "efficientnet_unet", effnet_weights,
-                    lambda: EfficientNet.init(jax.random.PRNGKey(0)),
-                )
-                if extract
-                else None
-            )
             return load_data_openeds2020(
                 extract_feature=extract, estimator=cfg.estimator,
                 data_path=base + "/", postfix=postfix, efficientnet_params=eff,
@@ -143,17 +149,19 @@ def gaze_estimation(
             params = GazeEstimator2.init(k_init, extract_feature=True)
             # start the trainable backbone from torchvision's pretrained
             # ResNet50 when ported weights exist (reference resnet.py:18-21)
-            if resnet_weights or pretrained_path("resnet50"):
-                params["resnet"] = load_pretrained(
-                    "resnet50", resnet_weights, lambda: params["resnet"]
-                )
+            if resnet_pre is not None:
+                params["resnet"] = resnet_pre
         optimizer = optax.adam(lr)
         opt_state = optimizer.init(params)
         train_step, eval_step = make_steps(cfg.estimator, optimizer)
         timer = StepTimer()
 
         # resumable training (the reference is save-only, SURVEY §5.3-5.4)
-        ckpt_dir = f"saved/checkpoints/gaze_estimator{cfg.estimator}_lr_{lr}"
+        # seed-scoped so --resume can never silently restore another
+        # configuration's training state (same param shapes would load)
+        ckpt_dir = (
+            f"saved/checkpoints/gaze_estimator{cfg.estimator}_lr_{lr}_seed_{cfg.seed}"
+        )
         start_epoch = 0
         if cfg.resume:
             restored = restore_state(ckpt_dir, (params, opt_state, jnp.int32(0)))
@@ -210,8 +218,7 @@ def main():
         help="ported ResNet50 IMAGENET1K_V2 npz for GazeEstimator2's "
         "backbone; auto-discovers models/weights/resnet50.npz when omitted",
     )
-    cfg = parse_config(parser, defaults)
-    args = parser.parse_args()
+    cfg, args = parse_config(parser, defaults)
     assert cfg.estimator in (1, 2)
     return gaze_estimation(
         cfg, effnet_weights=args.effnet_weights, resnet_weights=args.resnet_weights

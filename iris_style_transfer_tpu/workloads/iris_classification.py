@@ -188,8 +188,7 @@ def main():
         help="ported VGG19 IMAGENET1K_V1 npz; auto-discovers "
         "models/weights/vgg19.npz when omitted",
     )
-    cfg = parse_config(parser, defaults)
-    args = parser.parse_args()
+    cfg, args = parse_config(parser, defaults)
     cfg.name = f"seed {cfg.seed} rd {cfg.rotation_degree} pd {cfg.perspect_degree} lr {cfg.lr}"
     return iris_classification(cfg, vgg_weights=args.vgg_weights)
 

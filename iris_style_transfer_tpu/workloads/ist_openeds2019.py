@@ -18,7 +18,7 @@ jitted programs with zero per-image host work, batch-sharded over the mesh.
 from __future__ import annotations
 
 import argparse
-import json
+import functools
 import os
 
 import jax
@@ -30,34 +30,19 @@ from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
 from ..ops.image import crop_and_resize, gray_to_rgb
 from ..ops.metrics import classification_metrics, iou_per_class
-from ..parallel import make_mesh, shard_params
-from ..parallel.mesh import batch_sharding
+from ..parallel import make_mesh, make_stager, shard_params
 from ..pipelines import composite_batch
 from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..transfer.nst import make_nst_fn
-from ..utils import prepare_dir, seed as seed_all
+from ..utils import prepare_dir, seed as seed_all, sweep_done, write_sweep_marker
 
 
-def _stager(mesh):
-    """Host batch -> device, batch-sharded over the mesh's data axis when a
-    mesh is given (the flagship pipeline's multi-chip path — reference
-    ``iris_style_transfer_openeds2019.py:93-136`` runs it on one GPU)."""
-    if mesh is None:
-        return jnp.asarray
-
-    def stage(a):
-        if not isinstance(a, jax.Array):
-            a = np.asarray(a)
-        return jax.device_put(a, batch_sharding(mesh, a.ndim))
-
-    return stage
-
-
-def make_programs(
-    num_class: int, nst_epochs: int, c_w: float, s_w: float, compute_dtype,
-    seg_chunk: int = 8,
-):
+def make_programs(compute_dtype, seg_chunk: int = 8):
+    """Combo-independent jitted programs (pre/post classification, chunked
+    re-segmentation) — build ONCE per process and pass to
+    :func:`iris_style_transfer_openeds2019` via ``programs`` so the
+    beta x epochs sweep only re-traces the (combo-dependent) NST scan."""
     @jax.jit
     def pre_fn(vgg_params, c1, c2, c_imgs, masks, bboxes):
         masked = c_imgs * masks.astype(c_imgs.dtype)
@@ -65,17 +50,6 @@ def make_programs(
         irises = gray_to_rgb(irises)
         final, _, style = VGG19.apply(vgg_params, irises, compute_dtype=compute_dtype)
         return irises, Classifier1.apply(c1, final), Classifier2.apply(c2, style)
-
-    nst_fn = jax.jit(
-        make_nst_fn(
-            epochs=nst_epochs,
-            c_loss_weight=c_w,
-            s_loss_weight=s_w,
-            compute_dtype=compute_dtype,
-            scan_unroll=8,
-            lbfgs_dtype=jnp.bfloat16,
-        )
-    )
 
     @jax.jit
     def post_fn(vgg_params, c1, c2, frames, stylized, masks, bboxes):
@@ -106,7 +80,22 @@ def make_programs(
         miou = jnp.concatenate([p[1] for p in parts])
         return ious, miou
 
-    return pre_fn, nst_fn, post_fn, post_seg
+    return pre_fn, post_fn, post_seg
+
+
+@functools.lru_cache(maxsize=16)
+def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str):
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    return jax.jit(
+        make_nst_fn(
+            epochs=nst_epochs,
+            c_loss_weight=c_w,
+            s_loss_weight=s_w,
+            compute_dtype=compute_dtype,
+            scan_unroll=8,
+            lbfgs_dtype=jnp.bfloat16,
+        )
+    )
 
 
 def _save_png(path: str, img: np.ndarray) -> None:
@@ -142,14 +131,17 @@ def iris_style_transfer_openeds2019(
     save_period: int = 50,
     num_class: int = 152,
     mesh=None,
+    programs=None,
 ) -> dict:
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     n_data = mesh.shape["data"] if mesh is not None else 1
-    pre_fn, nst_fn, post_fn, post_seg = make_programs(
-        num_class, nst_epoch, c_loss_weight, s_loss_weight, compute_dtype,
-        seg_chunk=8 * n_data,
+    if programs is None:
+        programs = make_programs(compute_dtype, seg_chunk=8 * n_data)
+    pre_fn, post_fn, post_seg = programs
+    nst_fn = _nst_program(
+        nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype
     )
-    stage = _stager(mesh)
+    stage = make_stager(mesh)
 
     agg = {
         "pre1": [], "pre2": [], "post1": [], "post2": [],
@@ -272,8 +264,7 @@ def main():
         "--rerun", action="store_true",
         help="re-run sweep combos that already have a done.json marker",
     )
-    cfg = parse_config(parser, defaults)
-    args = parser.parse_args()
+    cfg, args = parse_config(parser, defaults)
 
     key = seed_all(cfg.seed)
     base = os.path.join(cfg.data_dir, "openeds2019")
@@ -301,10 +292,21 @@ def main():
         shard_params(mesh, p) for p in (vgg_params, ritnet_params, c1_params, c2_params)
     )
 
+    # sweep identity for done.json markers: anything that changes results
+    _presentation = {"name", "project", "num_workers", "resume", "save_period"}
+    sweep_config = {k: v for k, v in cfg.to_dict().items() if k not in _presentation}
+    sweep_config.update(
+        vgg_weights=args.vgg_weights,
+        classifier1_path=args.classifier1_path,
+        classifier2_path=args.classifier2_path,
+    )
+
     splits = [("test/", test_x, test_y, test_m)]
     if cfg.eval_train:
         splits.append(("train/", train_x, train_y, train_m))
     results = {}
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    programs = make_programs(compute_dtype, seg_chunk=8 * n_data)
 
     for prefix, xs, ys_, ms in splits:
         dataset = build_ist_dataset(xs, ys_, ms, ritnet_params, cfg.glint_threshold)
@@ -314,7 +316,7 @@ def main():
                 # resumable sweep (SURVEY §5.3): keep existing outputs and
                 # skip combos a previous (possibly crashed) run completed
                 done_marker = os.path.join(save_dir, "done.json")
-                if os.path.exists(done_marker) and not args.rerun:
+                if sweep_done(done_marker, sweep_config) and not args.rerun:
                     print(f"[sweep] {save_dir} already complete, skipping")
                     continue
                 prepare_dir(save_dir, idempotent=True)
@@ -331,11 +333,10 @@ def main():
                 log = iris_style_transfer_openeds2019(
                     cfg, dataset, vgg_params, ritnet_params, c1_params, c2_params,
                     cfg.c_loss_weight, sw, nst_epoch, prefix, save_dir, logger,
-                    num_class=num_class, mesh=mesh,
+                    num_class=num_class, mesh=mesh, programs=programs,
                 )
                 logger.finish()
-                with open(done_marker, "w") as fh:
-                    json.dump({k: float(v) for k, v in log.items()}, fh)
+                write_sweep_marker(done_marker, sweep_config, log)
                 results[(prefix, sw, nst_epoch)] = log
     return results
 

@@ -18,7 +18,7 @@ device programs.
 from __future__ import annotations
 
 import argparse
-import json
+import functools
 import os
 
 import jax
@@ -42,36 +42,24 @@ from ..models import (
 )
 from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox
 from ..ops.metrics import angular_distance
+from ..parallel import make_stager
 from ..pipelines import composite_batch, extract_iris_batch
 from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..transfer.nst import make_nst_fn
-from ..utils import prepare_dir, seed as seed_all
+from ..utils import prepare_dir, seed as seed_all, sweep_done, write_sweep_marker
 
 
-def _stager(mesh):
-    """Host array -> device, batch-sharded over the mesh's data axis when a
-    mesh is given."""
-    if mesh is None:
-        return jnp.asarray
-
-    from ..parallel.mesh import batch_sharding
-
-    def stage(a):
-        if not isinstance(a, jax.Array):
-            a = np.asarray(a)
-        return jax.device_put(a, batch_sharding(mesh, a.ndim))
-
-    return stage
-
-
-def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, mesh=None):
+def make_programs(glint, compute_dtype, mesh=None):
     """Full-resolution segmentation/gaze run as one jitted program applied
     in chunks (EfficientNet-B7 + ResNet50 at 400x640 hold too much
     activation memory for a 128-image batch on one chip; the per-device
     chunk stays at 8, so the global chunk scales with the mesh's data
-    axis); the NST scan runs on the full 224^2 batch, batch-sharded."""
-    stage = _stager(mesh)
+    axis).  Independent of the sweep combo — build ONCE per process and
+    pass to :func:`iris_style_transfer_openeds2020` via ``programs`` so a
+    weights x epochs sweep does not recompile the heaviest programs in
+    the pipeline per combo; only the (cheap to trace) NST scan varies."""
+    stage = make_stager(mesh)
     seg_chunk = 8 * (mesh.shape["data"] if mesh is not None else 1)
 
     @jax.jit
@@ -94,14 +82,6 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, mesh=None):
         ]
         return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
-    nst_fn = jax.jit(
-        make_nst_fn(
-            epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
-            compute_dtype=compute_dtype, scan_unroll=8,
-            lbfgs_dtype=jnp.bfloat16,
-        )
-    )
-
     @jax.jit
     def _post_chunk(eff_params, g1_params, g2_params, frames, stylized, masks, bboxes):
         new_frames = composite_batch(frames, stylized, masks, bboxes)
@@ -123,7 +103,19 @@ def make_programs(nst_epochs, c_w, s_w, glint, compute_dtype, mesh=None):
         ]
         return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
-    return pre_fn, nst_fn, post_fn, stage
+    return pre_fn, post_fn, stage
+
+
+@functools.lru_cache(maxsize=16)
+def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str):
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    return jax.jit(
+        make_nst_fn(
+            epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
+            compute_dtype=compute_dtype, scan_unroll=8,
+            lbfgs_dtype=jnp.bfloat16,
+        )
+    )
 
 
 def iris_style_transfer_openeds2020(
@@ -131,11 +123,14 @@ def iris_style_transfer_openeds2020(
     c_loss_weight, s_loss_weight, nst_epoch, metric_prefix, save_dir, logger,
     save_period: int = 50,
     mesh=None,
+    programs=None,
 ):
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    pre_fn, nst_fn, post_fn, stage = make_programs(
-        nst_epoch, c_loss_weight, s_loss_weight, cfg.glint_threshold, compute_dtype,
-        mesh=mesh,
+    if programs is None:
+        programs = make_programs(cfg.glint_threshold, compute_dtype, mesh=mesh)
+    pre_fn, post_fn, stage = programs
+    nst_fn = _nst_program(
+        nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype
     )
     s_iris_rgb = gray_to_rgb(jnp.asarray(s_iris))
 
@@ -253,8 +248,7 @@ def main():
         "--rerun", action="store_true",
         help="re-run sweep combos that already have a done.json marker",
     )
-    cfg = parse_config(parser, defaults)
-    args = parser.parse_args()
+    cfg, args = parse_config(parser, defaults)
 
     key = seed_all(cfg.seed)
     # mesh: pure data parallelism (every stage of this pipeline is
@@ -312,12 +306,25 @@ def main():
 
     s_iris = style_iris(jnp.asarray(s_img))
 
+    # sweep identity for done.json markers: anything that changes results
+    _presentation = {"name", "project", "num_workers", "resume", "save_period"}
+    sweep_config = {k: v for k, v in cfg.to_dict().items() if k not in _presentation}
+    sweep_config.update(
+        vgg_weights=args.vgg_weights,
+        effnet_weights=args.effnet_weights,
+        resnet_weights=args.resnet_weights,
+        estimator1_path=args.estimator1_path,
+        estimator2_path=args.estimator2_path,
+    )
+
     postfixes = ["validation/"]
     if cfg.eval_train:
         postfixes.append("train/")
     if cfg.eval_test:
         postfixes.append("test/")
     results = {}
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    programs = make_programs(cfg.glint_threshold, compute_dtype, mesh=mesh)
 
     for postfix in postfixes:
         print(f"loading {postfix[:-1]} set...")
@@ -341,7 +348,7 @@ def main():
                 # resumable sweep (SURVEY §5.3): keep existing outputs and
                 # skip combos a previous (possibly crashed) run completed
                 done_marker = os.path.join(save_dir, "done.json")
-                if os.path.exists(done_marker) and not args.rerun:
+                if sweep_done(done_marker, sweep_config) and not args.rerun:
                     print(f"[sweep] {save_dir} already complete, skipping")
                     continue
                 prepare_dir(save_dir, idempotent=True)
@@ -351,11 +358,10 @@ def main():
                 log = iris_style_transfer_openeds2020(
                     cfg, images, labels, eff_params, g1_params, g2_params, vgg_params,
                     s_iris, cfg.c_loss_weight, sw, nst_epoch, postfix, save_dir, logger,
-                    mesh=mesh,
+                    mesh=mesh, programs=programs,
                 )
                 logger.finish()
-                with open(done_marker, "w") as fh:
-                    json.dump({k: float(v) for k, v in log.items()}, fh)
+                write_sweep_marker(done_marker, sweep_config, log)
                 results[(postfix, sw, nst_epoch)] = log
     return results
 

@@ -113,6 +113,15 @@ def test_ist_openeds2019_main_and_sweep_resume(tmp_path, monkeypatch):
     # SURVEY §5.3) instead of wiping and recomputing
     assert wl.main() == {}
 
+    # but a DIFFERENT configuration must not be suppressed by the old
+    # marker — done.json is config-keyed (utils.sweep_done)
+    monkeypatch.setattr(sys, "argv", [
+        "ist2019", "-bs", "8", "--nst_epochs", "2", "-seed", "7",
+        "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
+    ])
+    results2 = wl.main()
+    assert ("test/", 1.0, 2) in results2
+
 
 def test_ist_openeds2020_main(tmp_path, monkeypatch):
     from iris_style_transfer_tpu.workloads import ist_openeds2020 as wl
