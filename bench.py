@@ -7,32 +7,52 @@ at the headline resolution: joint-batch L-BFGS (lr 1, BN style loss,
 content clone init) over a (4, 512, 512, 3) batch, whole loop in one
 ``lax.scan`` on device, bfloat16 VGG compute with f32 loss accumulation.
 
+Budget discipline (round-2 postmortem: rc=124, the primary number was lost
+because secondary configs compiled before the print): the primary metric is
+measured FIRST and printed+flushed the moment it exists.  Everything else —
+the 4x-epochs scaling guard and the secondary configs — runs only inside
+the remaining wall-clock budget (``BENCH_BUDGET_S``, default 480 s) and is
+written to ``BENCH_extra.json`` / stderr, never to stdout.
+
 Guards against runtime result-caching / elision: every timed call gets a
-fresh content batch, and a 4x-epochs scaling check validates that wall
-time scales with work — if it doesn't, the conservative (scaled) number is
-reported.
+fresh content batch and a host checksum readback; a FLOP-ceiling
+plausibility check rejects impossible numbers; the 4x-epochs scaling check
+(budget permitting) validates that wall time scales with work.
 
 ``vs_baseline``: the reference publishes no speed numbers (BASELINE.md);
 the divisor is an estimate of the reference's torch-LBFGS steps/sec on one
-A100 at this config (per-closure VGG fwd+bwd at 512px plus the reference's
-per-closure host syncs, ``pipelines.py:93-95``), to be replaced by a real
-measurement when one lands.
+A100 at this config, cross-checked against a real CPU measurement of the
+reference's ``nst()`` overhead model (tools/measure_reference_cpu.py,
+BASELINE.md).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 # Estimated A100 reference throughput for (4, 3, 512, 512) LBFGS NST with
-# per-closure host syncs.  Documented in BASELINE.md; refine with real
-# measurements.
-A100_BASELINE_STEPS_PER_SEC = 13.0
+# per-closure host syncs.  Round 3 replaced round 1's 13.0 guess with the
+# central value of a cross-checked extrapolation band [17.1, 33.4]
+# (tools/measure_reference_cpu.py ran the reference's actual torch nst()
+# on this host's CPU to validate the 1.55 TFLOP/closure FLOP model; the
+# A100 terms — TF32 conv util, elementwise HBM traffic, per-closure PCIe
+# syncs — are documented in BASELINE.md "Working estimate").
+A100_BASELINE_STEPS_PER_SEC = 24.7
 
 BATCH = 4
 SIZE = 512
 EPOCHS = 100
+
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
 
 
 def run(fn, params, c, s):
@@ -52,74 +72,50 @@ def main():
     params = VGG19.init(key)
     cs = [
         jax.random.uniform(jax.random.fold_in(key, 10 + i), (BATCH, SIZE, SIZE, 3))
-        for i in range(4)
+        for i in range(5)
     ]
     s = jax.random.uniform(jax.random.fold_in(key, 2), (BATCH, SIZE, SIZE, 3))
     jax.block_until_ready((cs, s))
 
-    fn = jax.jit(make_nst_fn(epochs=EPOCHS, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=8, lbfgs_dtype=jnp.bfloat16))
-    fn_q = jax.jit(
-        make_nst_fn(epochs=EPOCHS // 4, compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=8, lbfgs_dtype=jnp.bfloat16)
+    kw = dict(
+        compute_dtype=jnp.bfloat16,
+        history_size=10,
+        scan_unroll=8,
+        lbfgs_dtype=jnp.bfloat16,
     )
+    fn = jax.jit(make_nst_fn(epochs=EPOCHS, **kw))
 
     run(fn, params, cs[0], s)  # compile + warmup
-    run(fn_q, params, cs[0], s)
-
     times = [run(fn, params, c, s)[0] for c in cs[1:4]]
     t_full = min(times)
-    t_quarter = min(run(fn_q, params, c, s)[0] for c in cs[1:3])
-    # physical ceiling check: each closure is >=2.5 TFLOP of VGG compute;
-    # report nothing faster than the chip's peak could deliver
-    peak_flops = 400e12  # generous v5e bf16 ceiling
-    flops_per_step = 2.5e12
-    max_steps_per_sec = peak_flops / flops_per_step
-
     steps_per_sec = EPOCHS / t_full
-    # scaling sanity: full epochs should take ~4x the quarter run
-    ratio = t_full / max(t_quarter, 1e-9)
-    if ratio < 2.0:  # work did not scale -> distrust, report conservative
-        steps_per_sec = (EPOCHS // 4) / t_quarter / 4.0
+
+    # physical ceiling check: each closure is ~1.48 TFLOP of VGG compute
+    # (12 convs fwd + 12 bwd at 512px bs4, tools/measure_reference_cpu.py's
+    # FLOP model truncated at relu4_2); report nothing faster than the
+    # chip's peak could deliver
+    peak_flops = 400e12  # generous v5e bf16 ceiling
+    flops_per_step = 1.48e12
+    max_steps_per_sec = peak_flops / flops_per_step
     if steps_per_sec > max_steps_per_sec:
         raise SystemExit(
             f"benchmark implausible ({steps_per_sec:.0f} steps/s > physical "
             f"ceiling {max_steps_per_sec:.0f}); backend did not execute"
         )
 
-    # secondary configs (VERDICT r1 weak #9): the Gram-loss 512px path (the
-    # memory-bound case the Pallas kernel targets, win/loss recorded) and
-    # the production IST config (64, 224, 224, 3).  Failures here never
-    # break the primary metric line.
-    extra = {}
-    try:
-        g_epochs = 40
-        for label, pg in (("gram_512px_bs4_steps_per_sec", "auto"),
-                          ("gram_512px_bs4_steps_per_sec_xla", False)):
-            gfn = jax.jit(make_nst_fn(
-                epochs=g_epochs, bn_loss=False, pallas_gram=pg,
-                compute_dtype=jnp.bfloat16, history_size=10, scan_unroll=8, lbfgs_dtype=jnp.bfloat16,
-            ))
-            run(gfn, params, cs[0], s)  # compile + warmup
-            t = min(run(gfn, params, c, s)[0] for c in cs[1:3])
-            extra[label] = round(g_epochs / t, 2)
+    # scaling sanity (anti-elision): full epochs should take ~4x a
+    # quarter-epochs run of the same closure.  Costs one more compile, so
+    # it runs only when at least half the budget is still unspent.
+    scaling = None
+    if remaining() > BUDGET_S / 2:
+        fn_q = jax.jit(make_nst_fn(epochs=EPOCHS // 4, **kw))
+        run(fn_q, params, cs[0], s)  # compile + warmup
+        t_quarter = min(run(fn_q, params, c, s)[0] for c in cs[1:3])
+        scaling = t_full / max(t_quarter, 1e-9)
+        if scaling < 2.0:  # work did not scale -> distrust, report conservative
+            steps_per_sec = (EPOCHS // 4) / t_quarter / 4.0
 
-        ist_bs, ist_size, ist_epochs = 64, 224, 50
-        ci = jax.random.uniform(jax.random.fold_in(key, 30), (ist_bs, ist_size, ist_size, 3))
-        si = jax.random.uniform(jax.random.fold_in(key, 31), (ist_bs, ist_size, ist_size, 3))
-        ifn = jax.jit(make_nst_fn(
-            epochs=ist_epochs, compute_dtype=jnp.bfloat16, history_size=10,
-            scan_unroll=8, lbfgs_dtype=jnp.bfloat16,
-        ))
-        run(ifn, params, ci, si)  # compile + warmup
-        ci2 = jax.random.uniform(jax.random.fold_in(key, 32), ci.shape)
-        t_ist, _, _ = run(ifn, params, ci2, si)
-        # a production batch runs 200 closure evals (reference
-        # iris_style_transfer_openeds2019.py:245)
-        extra["ist_224px_bs64_images_per_min"] = round(
-            ist_bs / (t_ist * (200 / ist_epochs)) * 60, 1
-        )
-    except Exception as e:  # pragma: no cover - defensive
-        extra["error"] = f"{type(e).__name__}: {e}"
-
+    # ---- THE primary line: print + flush immediately, before anything else
     print(
         json.dumps(
             {
@@ -127,10 +123,63 @@ def main():
                 "value": round(steps_per_sec, 2),
                 "unit": "closure_evals/sec",
                 "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 2),
-                "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
+
+    # ---- secondary configs, strictly budgeted, side artifact only ----
+    extra = {
+        "primary_steps_per_sec": round(steps_per_sec, 2),
+        "scaling_ratio_full_vs_quarter": round(scaling, 2) if scaling else None,
+    }
+
+    def save_extra():
+        try:
+            with open(os.path.join(os.path.dirname(__file__), "BENCH_extra.json"), "w") as f:
+                json.dump(extra, f, indent=1)
+        except OSError:
+            pass
+
+    try:
+        # Gram-loss 512px path (the memory-bound case the Pallas kernel
+        # targets; win/loss vs XLA dot recorded)
+        g_epochs = 40
+        for label, pg in (
+            ("gram_512px_bs4_steps_per_sec", "auto"),
+            ("gram_512px_bs4_steps_per_sec_xla", False),
+        ):
+            if remaining() < 90:
+                extra["skipped_at"] = label
+                break
+            gfn = jax.jit(make_nst_fn(epochs=g_epochs, bn_loss=False, pallas_gram=pg, **kw))
+            run(gfn, params, cs[0], s)  # compile + warmup
+            t = min(run(gfn, params, c, s)[0] for c in cs[1:3])
+            extra[label] = round(g_epochs / t, 2)
+            save_extra()
+
+        # production IST config (reference iris_style_transfer_openeds2019.py:215)
+        if remaining() > 90:
+            ist_bs, ist_size, ist_epochs = 64, 224, 50
+            ci = jax.random.uniform(jax.random.fold_in(key, 30), (ist_bs, ist_size, ist_size, 3))
+            si = jax.random.uniform(jax.random.fold_in(key, 31), (ist_bs, ist_size, ist_size, 3))
+            ifn = jax.jit(make_nst_fn(epochs=ist_epochs, **kw))
+            run(ifn, params, ci, si)  # compile + warmup
+            ci2 = jax.random.uniform(jax.random.fold_in(key, 32), ci.shape)
+            t_ist, _, _ = run(ifn, params, ci2, si)
+            # a production batch runs 200 closure evals (reference
+            # iris_style_transfer_openeds2019.py:245)
+            extra["ist_224px_bs64_images_per_min"] = round(
+                ist_bs / (t_ist * (200 / ist_epochs)) * 60, 1
+            )
+        else:
+            extra.setdefault("skipped_at", "ist_224px_bs64")
+    except Exception as e:  # pragma: no cover - defensive
+        extra["error"] = f"{type(e).__name__}: {e}"
+
+    extra["elapsed_s"] = round(time.monotonic() - T0, 1)
+    save_extra()
+    print(json.dumps({"secondary": extra}), file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

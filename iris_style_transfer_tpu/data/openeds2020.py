@@ -80,12 +80,17 @@ def load_data_openeds2020(
             images[-1] = images[-1][:-pad]
         pending.clear()
 
-    dims = None
-    for paths in seq_paths:
-        if dims is None:
-            dims = np.asarray(Image.open(paths[0]).convert("L")).shape
-        # native threaded decode of the whole sequence (PIL fallback inside)
-        arrs = decode_gray_batch(paths, dims[0], dims[1])
+    dims = np.asarray(Image.open(seq_paths[0][0]).convert("L")).shape
+
+    # decode in a background thread so the native threaded decoder stays
+    # ahead of the chunked device programs instead of alternating serially
+    # (reference data_preprocessing.py:378-414 does everything serially)
+    from .prefetch import background
+
+    decoded = background(
+        (decode_gray_batch(paths, dims[0], dims[1]) for paths in seq_paths), size=2
+    )
+    for arrs in decoded:
         if extract_feature:
             pending.extend(arrs)
             if len(pending) >= 4 * chunk:
@@ -137,15 +142,30 @@ def stream_openeds2020(
     postfix: str = "test/",
     batch_size: int = 128,
     max_sequences: int | None = None,
+    shuffle_seed: int | None = None,
+    drop_remainder: bool = False,
+    buffer_batches: int = 4,
+    stats: dict | None = None,
 ):
     """Stream a split as (images (B, H, W, 1), labels (B, 3), valid (B,))
     batches — the OpenEDS2020 sets hold up to 550K frames
     (``appendix.pdf`` Table 5), far beyond what the reference's eager
     materialization (``data_preprocessing.py:385-417``) allows on modest
     hosts.  Sequences are decoded lazily through the native threaded
-    loader, holding O(batch + one sequence) frames in memory; the final
-    short batch is padded by repeating the last row with ``valid`` marking
-    real rows (the same contract as ``prefetch.batch_iterator``).
+    loader, holding O(batch x buffer_batches + one sequence) frames in
+    memory; the final short batch is padded by repeating the last row with
+    ``valid`` marking real rows (the same contract as
+    ``prefetch.batch_iterator``), or dropped with ``drop_remainder``.
+
+    ``shuffle_seed`` turns this into an epoch-reshuffled training stream
+    (sequence-order shuffle + within-buffer shuffle — pass
+    ``seed + epoch``): every frame is visited exactly once per epoch while
+    host RAM stays bounded.  This is the estimator-2 raw-image training
+    path (SURVEY §7 hard-part 5); the reference instead materializes the
+    whole ~563 GB split.
+
+    ``stats``, when given, records ``peak_buffer_frames`` so tests can
+    assert the memory bound.
     """
     from PIL import Image
 
@@ -153,21 +173,47 @@ def stream_openeds2020(
     if not seq_paths:
         return
 
+    rng = np.random.default_rng(shuffle_seed) if shuffle_seed is not None else None
+    order = list(range(len(seq_paths)))
+    if rng is not None:
+        rng.shuffle(order)
+
     dims = np.asarray(Image.open(seq_paths[0][0]).convert("L")).shape
     buf_imgs: list[np.ndarray] = []
     buf_labs: list[np.ndarray] = []
+    hold = max(buffer_batches, 1) * batch_size  # shuffle-buffer size
+
+    def note_peak():
+        if stats is not None:
+            stats["peak_buffer_frames"] = max(
+                stats.get("peak_buffer_frames", 0), len(buf_imgs)
+            )
+
+    def take_batch():
+        """Pop one batch from the buffer — a uniform sample without
+        replacement under shuffle, FIFO otherwise."""
+        if rng is not None:
+            picks = rng.choice(len(buf_imgs), size=batch_size, replace=False)
+            picks = np.sort(picks)[::-1]  # pop descending to keep indices valid
+            imgs = np.stack([buf_imgs[i] for i in picks])
+            labs = np.stack([buf_labs[i] for i in picks])
+            for i in picks:
+                buf_imgs.pop(i)
+                buf_labs.pop(i)
+            return imgs, labs
+        imgs = np.stack(buf_imgs[:batch_size])
+        labs = np.stack(buf_labs[:batch_size])
+        del buf_imgs[:batch_size]
+        del buf_labs[:batch_size]
+        return imgs, labs
 
     def drain(final: bool):
         nonlocal buf_imgs, buf_labs
-        while len(buf_imgs) >= batch_size:
-            yield (
-                np.stack(buf_imgs[:batch_size]),
-                np.stack(buf_labs[:batch_size]),
-                np.ones(batch_size, bool),
-            )
-            del buf_imgs[:batch_size]
-            del buf_labs[:batch_size]
-        if final and buf_imgs:
+        floor = 0 if final else hold
+        while len(buf_imgs) >= max(batch_size, floor + (0 if final else 1)):
+            imgs, labs = take_batch()
+            yield imgs, labs, np.ones(batch_size, bool)
+        if final and buf_imgs and not drop_remainder:
             n = len(buf_imgs)
             pad = batch_size - n
             imgs = np.stack(buf_imgs + [buf_imgs[-1]] * pad)
@@ -177,8 +223,10 @@ def stream_openeds2020(
             buf_imgs, buf_labs = [], []
             yield imgs, labs, valid
 
-    for paths, labs in zip(seq_paths, labels):
-        buf_imgs.extend(decode_gray_batch(paths, dims[0], dims[1]))
-        buf_labs.extend(labs)
+    for si in order:
+        buf_imgs.extend(decode_gray_batch(seq_paths[si], dims[0], dims[1]))
+        buf_labs.extend(labels[si])
+        note_peak()
         yield from drain(final=False)
+    note_peak()
     yield from drain(final=True)

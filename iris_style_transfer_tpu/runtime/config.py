@@ -41,6 +41,10 @@ class WorkloadConfig:
     data_dir: str = "../data"
     resume: bool = False
     name: str = ""
+    # NST perf knobs (measured-best defaults, BASELINE.md round-2 table)
+    scan_unroll: int = 8
+    history_size: int = 10
+    pallas_gram: str = "auto"  # "auto" | "on" | "off"
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -73,6 +77,10 @@ def add_common_args(parser: argparse.ArgumentParser, defaults: WorkloadConfig) -
     p.add_argument("--compute_dtype", type=str, default=defaults.compute_dtype)
     p.add_argument("--data_dir", type=str, default=defaults.data_dir)
     p.add_argument("--resume", action=argparse.BooleanOptionalAction, default=defaults.resume)
+    p.add_argument("--scan_unroll", type=int, default=defaults.scan_unroll)
+    p.add_argument("--history_size", type=int, default=defaults.history_size)
+    p.add_argument("--pallas_gram", type=str, choices=("auto", "on", "off"),
+                   default=defaults.pallas_gram)
 
 
 def parse_config(parser: argparse.ArgumentParser, defaults: WorkloadConfig):

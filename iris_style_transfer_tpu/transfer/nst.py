@@ -189,6 +189,7 @@ def nst(
     history_size: int = 10,
     compute_dtype=jnp.float32,
     noise_key: jax.Array | None = None,
+    scan_unroll: int = 8,
 ) -> NSTResult:
     """Convenience wrapper with the reference's flag names
     (``pipelines.py:8-19``; ``vgg``/``device``/``use_tqdm`` are replaced by
@@ -203,7 +204,7 @@ def nst(
         optimizer=optimizer,
         history_every=history_every,
         history_size=history_size,
-        scan_unroll=4,
+        scan_unroll=scan_unroll,
         compute_dtype=compute_dtype,
     )
     return fn(vgg_params, c_img, s_img, noise_key)

@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from ..data import batch_iterator, prefetch_to_device, synthetic_eye_batch
-from ..data.openeds2020 import load_data_openeds2020
+from ..data.openeds2020 import load_data_openeds2020, stream_openeds2020
 from ..models import (
     EfficientNet,
     GazeEstimator1,
@@ -118,7 +118,16 @@ def gaze_estimation(
     if cfg.estimator == 2 and (resnet_weights or pretrained_path("resnet50")):
         resnet_pre = load_pretrained("resnet50", resnet_weights, lambda: None)
 
+    # Estimator 2 trains on raw (400, 640, 1) frames; materializing the
+    # ~550K-frame train split eagerly (as the reference does,
+    # ``data_preprocessing.py:385-417``) would need ~563 GB of host RAM.
+    # Stream it instead: splits stay as postfix strings and each epoch
+    # re-shuffles through a bounded buffer (SURVEY §7 hard-part 5).
+    stream_raw = use_real and cfg.estimator == 2
+
     def load(postfix):
+        if stream_raw:
+            return postfix  # streamed lazily, per epoch
         if use_real:
             # landmark extraction segments frames with the pretrained
             # EfficientNet when ported weights exist (reference
@@ -128,6 +137,20 @@ def gaze_estimation(
                 data_path=base + "/", postfix=postfix, efficientnet_params=eff,
             )
         return _synthetic_gaze(96 if "train" in postfix else 32, cfg.estimator, seed=cfg.seed)
+
+    def train_batches(split, epoch):
+        if isinstance(split, str):
+            return stream_openeds2020(
+                base + "/", split, cfg.bs,
+                shuffle_seed=cfg.seed + epoch, drop_remainder=True,
+            )
+        return batch_iterator(split, cfg.bs, shuffle=True, seed=cfg.seed + epoch,
+                              drop_remainder=True)
+
+    def eval_batches(split):
+        if isinstance(split, str):
+            return stream_openeds2020(base + "/", split, cfg.bs)
+        return batch_iterator(split, cfg.bs)
 
     print("loading training set...")
     train = load("train/")
@@ -174,8 +197,9 @@ def gaze_estimation(
         for e in range(start_epoch, cfg.epochs):
             log = {}
             preds, labels = [], []
-            it = batch_iterator(train, cfg.bs, shuffle=True, seed=cfg.seed + e, drop_remainder=True)
-            for bi, (x, y) in enumerate(prefetch_to_device(it, mesh=mesh)):
+            it = train_batches(train, e)
+            for bi, batch in enumerate(prefetch_to_device(it, mesh=mesh)):
+                x, y = batch[0], batch[1]
                 k = jax.random.fold_in(k_train, e * 100000 + bi)
                 with timer:
                     params, opt_state, loss, o = train_step(params, opt_state, x, y, k)
@@ -184,7 +208,7 @@ def gaze_estimation(
 
             for split_name, split in (("valid", valid),) + ((("test", test),) if test else ()):
                 preds, labels = [], []
-                for batch in prefetch_to_device(batch_iterator(split, cfg.bs), mesh=mesh):
+                for batch in prefetch_to_device(eval_batches(split), mesh=mesh):
                     x, y = batch[0], batch[1]
                     valid_mask = batch[2] if len(batch) > 2 else np.ones(len(y), bool)
                     o = eval_step(params, x)

@@ -84,15 +84,20 @@ def make_programs(compute_dtype, seg_chunk: int = 8):
 
 
 @functools.lru_cache(maxsize=16)
-def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str):
+def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str,
+                 scan_unroll: int = 8, history_size: int = 10,
+                 pallas_gram: str = "auto"):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
     return jax.jit(
         make_nst_fn(
             epochs=nst_epochs,
             c_loss_weight=c_w,
             s_loss_weight=s_w,
             compute_dtype=compute_dtype,
-            scan_unroll=8,
+            scan_unroll=scan_unroll,
+            history_size=history_size,
+            pallas_gram=pg,
             lbfgs_dtype=jnp.bfloat16,
         )
     )
@@ -139,7 +144,8 @@ def iris_style_transfer_openeds2019(
         programs = make_programs(compute_dtype, seg_chunk=8 * n_data)
     pre_fn, post_fn, post_seg = programs
     nst_fn = _nst_program(
-        nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype
+        nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype,
+        cfg.scan_unroll, cfg.history_size, cfg.pallas_gram,
     )
     stage = make_stager(mesh)
 
@@ -173,10 +179,10 @@ def iris_style_transfer_openeds2019(
         ys = jnp.asarray(np.asarray(s_labels)[valid])
         p1v, p2v = jnp.asarray(np.asarray(p1)[valid]), jnp.asarray(np.asarray(p2)[valid])
         for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
-            m = classification_metrics(lab, pred, num_class)
+            m = classification_metrics(lab, pred, num_class, auc_present_only=True)
             blog.update({f"{metric_prefix}pre/{nm}/batch/{k}": v for k, v in m.items()})
         for nm, pred in (("c1", p1v), ("c2", p2v)):
-            m = classification_metrics(ys, pred, num_class)
+            m = classification_metrics(ys, pred, num_class, auc_present_only=True)
             blog.update({f"{metric_prefix}pre/{nm}/mis/batch/{k}": v for k, v in m.items()})
         agg["pre1"].append(np.asarray(p1)[valid]); agg["pre2"].append(np.asarray(p2)[valid])
         agg["c_labels"].append(np.asarray(c_labels)[valid])
@@ -201,10 +207,10 @@ def iris_style_transfer_openeds2019(
         ious, miou = post_seg(ritnet_params, new_frames, stage(seg_gt))
         p1v, p2v = jnp.asarray(np.asarray(p1)[valid]), jnp.asarray(np.asarray(p2)[valid])
         for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
-            m = classification_metrics(lab, pred, num_class)
+            m = classification_metrics(lab, pred, num_class, auc_present_only=True)
             blog.update({f"{metric_prefix}post/{nm}/batch/{k}": v for k, v in m.items()})
         for nm, pred in (("c1", p1v), ("c2", p2v)):
-            m = classification_metrics(ys, pred, num_class)
+            m = classification_metrics(ys, pred, num_class, auc_present_only=True)
             blog.update({f"{metric_prefix}post/{nm}/mis/batch/{k}": v for k, v in m.items()})
         ious_np = np.asarray(ious)[:, valid]
         for c in range(4):

@@ -107,12 +107,16 @@ def make_programs(glint, compute_dtype, mesh=None):
 
 
 @functools.lru_cache(maxsize=16)
-def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str):
+def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str,
+                 scan_unroll: int = 8, history_size: int = 10,
+                 pallas_gram: str = "auto"):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
     return jax.jit(
         make_nst_fn(
             epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
-            compute_dtype=compute_dtype, scan_unroll=8,
+            compute_dtype=compute_dtype, scan_unroll=scan_unroll,
+            history_size=history_size, pallas_gram=pg,
             lbfgs_dtype=jnp.bfloat16,
         )
     )
@@ -130,7 +134,9 @@ def iris_style_transfer_openeds2020(
         programs = make_programs(cfg.glint_threshold, compute_dtype, mesh=mesh)
     pre_fn, post_fn, stage = programs
     nst_fn = _nst_program(
-        nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype
+        nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype,
+        getattr(cfg, "scan_unroll", 8), getattr(cfg, "history_size", 10),
+        getattr(cfg, "pallas_gram", "auto"),
     )
     s_iris_rgb = gray_to_rgb(jnp.asarray(s_iris))
 

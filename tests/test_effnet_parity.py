@@ -30,6 +30,10 @@ from iris_style_transfer_tpu.models.efficientnet import (
 )
 from tests.test_effnet_port import build_fake_smp_state_dict
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier only: see pyproject.toml
+
 
 def _t(sd, key):
     return torch.from_numpy(sd[key])

@@ -16,6 +16,8 @@ from iris_style_transfer_tpu.models.efficientnet import (
     STEM_CHANNELS,
 )
 
+pytestmark = pytest.mark.slow  # full-tier only: see pyproject.toml
+
 
 def _bn_keys(sd, prefix, c, rng):
     sd[f"{prefix}.weight"] = rng.standard_normal(c).astype(np.float32)

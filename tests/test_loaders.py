@@ -168,3 +168,74 @@ def test_synthetic_gaze_mode():
     a = synthetic_eye_batch(4, height=64, width=64, seed=9)
     b = synthetic_eye_batch(4, height=64, width=64, seed=9, gaze=False)
     np.testing.assert_array_equal(a[0], b[0])
+
+
+@pytest.fixture()
+def fake_openeds2020_large(tmp_path):
+    """A 550-frame train split (11 sequences x 50 frames) with each frame's
+    id steganographed into its first two pixels — the round-2 VERDICT #3
+    'fake 550-frame split' for the bounded-memory streaming-training test."""
+    base = tmp_path / "gaze"
+    rng = np.random.default_rng(7)
+    fid = 0
+    for seq in range(11):
+        sd = base / "train" / "sequences" / f"{seq:04d}"
+        sd.mkdir(parents=True)
+        rows = []
+        for i in range(50):
+            arr = rng.integers(0, 255, (8, 8), dtype=np.uint8)
+            arr[0, 0] = fid // 256
+            arr[0, 1] = fid % 256
+            Image.fromarray(arr, "L").save(sd / f"{i:03d}.png")
+            rows.append(f"{i},{fid / 550:.6f},0.0,1.0")
+            fid += 1
+        ld = base / "train" / "labels"
+        ld.mkdir(parents=True, exist_ok=True)
+        (ld / f"{seq:04d}.txt").write_text("\n".join(rows))
+    return str(base) + "/"
+
+
+def _frame_ids(imgs):
+    hi = np.rint(imgs[:, 0, 0, 0] * 255).astype(int)
+    lo = np.rint(imgs[:, 0, 1, 0] * 255).astype(int)
+    return hi * 256 + lo
+
+
+def test_stream_shuffled_bounded_two_epochs(fake_openeds2020_large):
+    """Estimator-2 raw-image training path (VERDICT r2 #3): two epochs of
+    the epoch-reshuffled stream visit every frame exactly once per epoch,
+    in different orders, while the host buffer stays O(batches + one
+    sequence) — never the whole split."""
+    import optax
+
+    bs, n_total, seq_len, buffer_batches = 50, 550, 50, 4
+    w = np.zeros((64,), np.float32)
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(w)
+    orders = []
+    for epoch in range(2):
+        stats = {}
+        seen = []
+        for imgs, labs, valid in stream_openeds2020(
+            fake_openeds2020_large, "train/", batch_size=bs,
+            shuffle_seed=42 + epoch, drop_remainder=True,
+            buffer_batches=buffer_batches, stats=stats,
+        ):
+            assert valid.all()
+            seen.append(_frame_ids(imgs))
+            # a real (tiny) train step, proving the loop trains end to end
+            x = imgs.reshape(bs, -1).astype(np.float32)
+            y = labs[:, 0]
+            grads = 2 * x.T @ (x @ w - y) / bs
+            updates, opt_state = opt.update(grads, opt_state)
+            w = np.asarray(optax.apply_updates(w, updates))
+        seen = np.concatenate(seen)
+        # every frame visited exactly once this epoch
+        assert sorted(seen.tolist()) == list(range(n_total))
+        orders.append(seen)
+        # memory bound: shuffle buffer + one decoded sequence, not the split
+        bound = buffer_batches * bs + seq_len + bs
+        assert stats["peak_buffer_frames"] <= bound < n_total
+    # epochs reshuffle: different visit order
+    assert not np.array_equal(orders[0], orders[1])
+    assert np.isfinite(w).all() and np.abs(w).sum() > 0

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from iris_style_transfer_tpu.models import VGG19
 from iris_style_transfer_tpu.transfer import nst
 
+pytestmark = pytest.mark.slow  # full-tier only: see pyproject.toml
+
 
 @pytest.fixture(scope="module")
 def vgg_params():

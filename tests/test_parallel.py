@@ -30,6 +30,7 @@ def test_mesh_shapes():
     assert mesh.devices.shape == (4, 2)
 
 
+@pytest.mark.slow
 def test_sharded_nst_matches_single_device():
     """The NST program under batch sharding must produce the same result
     as unsharded execution (same math, XLA inserts the collectives)."""
@@ -57,6 +58,7 @@ def test_sharded_nst_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_multislice_mesh_nst_matches_single_device():
     """Multi-slice (slice, data, model) mesh: the batch shards over both
     DP axes (hierarchical ICI-then-DCN reductions on real pods); results
@@ -83,6 +85,7 @@ def test_multislice_mesh_nst_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_tensor_parallel_classifier_matches_replicated():
     from iris_style_transfer_tpu.models import Classifier2
 
@@ -98,6 +101,7 @@ def test_tensor_parallel_classifier_matches_replicated():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import importlib.util, os
 

@@ -12,6 +12,8 @@ from iris_style_transfer_tpu.models import port
 from iris_style_transfer_tpu.models import layers as L
 from iris_style_transfer_tpu.models.vgg import CONV_NAMES, VGG19, VGG19_LAYERS
 
+pytestmark = pytest.mark.slow  # full-tier only: see pyproject.toml
+
 
 def test_convert_vgg19_maps_indices():
     rng = np.random.default_rng(0)

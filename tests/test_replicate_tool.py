@@ -13,6 +13,10 @@ import os
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier only: see pyproject.toml
+
 
 def _load_tool():
     path = os.path.join(

@@ -18,6 +18,10 @@ from iris_style_transfer_tpu.models import ResNet50
 from iris_style_transfer_tpu.models import port
 from iris_style_transfer_tpu.models.resnet import EXPANSION, STAGES
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier only: see pyproject.toml
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
