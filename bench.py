@@ -34,6 +34,19 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the 512px programs cost minutes of compile
+# on a 1-core host — warm runs (e.g. the driver's, after this repo's own
+# tooling ran) skip straight to measurement.  Best-effort: unsupported
+# backends just compile as usual.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "saved", "xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 # Estimated A100 reference throughput for (4, 3, 512, 512) LBFGS NST with
 # per-closure host syncs.  Round 3 replaced round 1's 13.0 guess with the
 # central value of a cross-checked extrapolation band [17.1, 33.4]
