@@ -18,6 +18,8 @@ the reference's per-batch host round trips.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +79,7 @@ def roc_auc_ovr(
     return jnp.where(jnp.all(valid_k), jnp.mean(aucs), -1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("num_class", "auc_present_only"))
 def classification_metrics(
     labels: jax.Array, logits: jax.Array, num_class: int,
     auc_present_only: bool = False,
@@ -88,6 +91,11 @@ def classification_metrics(
     of labels and predictions (sklearn's ``labels=None`` behavior), with
     zero_division=0.  ``auc_present_only=True`` switches the AUC to the
     present-classes average for batch-level logs (see ``roc_auc_ovr``).
+
+    Jitted at the top level: epoch-end callers pass mesh-sharded logits, and
+    an eager op-by-op dispatch would pay one cross-device rendezvous per
+    primitive (hundreds for the vmapped AUC) — one compiled SPMD program
+    pays one.
     """
     loss = cross_entropy(logits, labels)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -37,6 +37,7 @@ class WorkloadConfig:
     num_workers: int = 16
     # TPU-native knobs
     model_parallel: int = 1
+    n_devices: int = 0  # mesh size; 0 = all visible devices
     compute_dtype: str = "bfloat16"
     data_dir: str = "../data"
     resume: bool = False
@@ -74,6 +75,8 @@ def add_common_args(parser: argparse.ArgumentParser, defaults: WorkloadConfig) -
     p.add_argument("-W", "--num_workers", type=int, default=defaults.num_workers)
     # TPU-native
     p.add_argument("--model_parallel", type=int, default=defaults.model_parallel)
+    p.add_argument("--n_devices", type=int, default=defaults.n_devices,
+                   help="mesh size (run on the first N chips); 0 = all")
     p.add_argument("--compute_dtype", type=str, default=defaults.compute_dtype)
     p.add_argument("--data_dir", type=str, default=defaults.data_dir)
     p.add_argument("--resume", action=argparse.BooleanOptionalAction, default=defaults.resume)

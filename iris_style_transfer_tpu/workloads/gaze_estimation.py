@@ -85,8 +85,12 @@ def make_steps(estimator: int, optimizer):
 
 
 def _epoch_metrics(preds, labels, prefix, log):
-    preds = jnp.asarray(np.concatenate(preds))
-    labels = jnp.asarray(np.concatenate(labels))
+    # lists may hold device arrays (gathered here, once per epoch) — a
+    # per-step np.asarray would sync the host against every train_step
+    # and serialize the pipeline, the reference's own flaw
+    # (pipelines.py:93-95 analog)
+    preds = np.concatenate(jax.device_get(preds))
+    labels = np.concatenate(jax.device_get(labels))
     log[f"{prefix}/loss"] = float(cosine_embedding_loss(preds, labels))
     rad, deg = angular_distance(preds, labels)
     log[f"{prefix}/radian_distance"] = float(rad.mean())
@@ -158,7 +162,7 @@ def gaze_estimation(
     valid = load("validation/")
     test = load("test/") if cfg.test else None
 
-    mesh = make_mesh(model_parallel=1)
+    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=1)
     final = {}
     for lr in lrs:
         key = seed_all(cfg.seed)
@@ -203,7 +207,7 @@ def gaze_estimation(
                 k = jax.random.fold_in(k_train, e * 100000 + bi)
                 with timer:
                     params, opt_state, loss, o = train_step(params, opt_state, x, y, k)
-                preds.append(np.asarray(o)); labels.append(np.asarray(y))
+                preds.append(o); labels.append(y)
             _epoch_metrics(preds, labels, "train", log)
 
             for split_name, split in (("valid", valid),) + ((("test", test),) if test else ()):

@@ -94,7 +94,7 @@ def iris_classification(cfg: WorkloadConfig, vgg_weights: str = "") -> dict:
         cfg.glint_threshold,
     )
 
-    mesh = make_mesh(model_parallel=cfg.model_parallel)
+    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=cfg.model_parallel)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     vgg_params = load_pretrained("vgg19", vgg_weights, lambda: VGG19.init(k_vgg))
@@ -142,7 +142,13 @@ def iris_classification(cfg: WorkloadConfig, vgg_weights: str = "") -> dict:
             preds1.append(p1); preds2.append(p2); labels.append(y)
 
         log = {}
-        p1 = jnp.concatenate(preds1); p2 = jnp.concatenate(preds2); yy = jnp.concatenate(labels)
+        # gather the (N, K) logits to host before the metric program: a
+        # device_get of a batch-sharded array is a per-shard copy (no
+        # collectives), and the jitted metrics then run as one
+        # single-device program instead of riding the whole mesh
+        p1 = np.concatenate(jax.device_get(preds1))
+        p2 = np.concatenate(jax.device_get(preds2))
+        yy = np.concatenate(jax.device_get(labels))
         for name, pred in (("c1", p1), ("c2", p2)):
             m = classification_metrics(yy, pred, num_class)
             log.update({f"train/{name}/{k}": v for k, v in m.items()})
@@ -154,8 +160,8 @@ def iris_classification(cfg: WorkloadConfig, vgg_weights: str = "") -> dict:
             p1, p2 = eval_step(train_params, vgg_frozen, x)
             preds1.append(np.asarray(p1)[valid]); preds2.append(np.asarray(p2)[valid])
             labels.append(np.asarray(y)[valid])
-        p1 = jnp.asarray(np.concatenate(preds1)); p2 = jnp.asarray(np.concatenate(preds2))
-        yy = jnp.asarray(np.concatenate(labels))
+        p1 = np.concatenate(preds1); p2 = np.concatenate(preds2)
+        yy = np.concatenate(labels)
         for name, pred in (("c1", p1), ("c2", p2)):
             m = classification_metrics(yy, pred, num_class)
             log.update({f"test/{name}/{k}": v for k, v in m.items()})

@@ -76,8 +76,11 @@ def make_programs(compute_dtype, seg_chunk: int = 8):
         n = new_frames.shape[0]
         for i in range(0, n, chunk):
             parts.append(seg_iou_fn(ritnet_params, new_frames[i : i + chunk], seg_gt[i : i + chunk]))
-        ious = jnp.concatenate([p[0] for p in parts], axis=1)
-        miou = jnp.concatenate([p[1] for p in parts])
+        # host-side concat: chunk results are mesh-sharded, and an eager
+        # device-side concatenate would dispatch an extra SPMD program for
+        # what the caller immediately np.asarray's anyway
+        ious = np.concatenate([np.asarray(jax.device_get(p[0])) for p in parts], axis=1)
+        miou = np.concatenate([np.asarray(jax.device_get(p[1])) for p in parts])
         return ious, miou
 
     return pre_fn, post_fn, post_seg
@@ -175,9 +178,11 @@ def iris_style_transfer_openeds2019(
         )
         # batch metrics over valid rows only — padded rows duplicate the
         # last sample and would bias the final short batch
-        yy = jnp.asarray(np.asarray(c_labels)[valid])
-        ys = jnp.asarray(np.asarray(s_labels)[valid])
-        p1v, p2v = jnp.asarray(np.asarray(p1)[valid]), jnp.asarray(np.asarray(p2)[valid])
+        # host-side gather keeps the jitted metric programs single-device
+        # (mesh-wide SPMD buys nothing on (B, K) logits)
+        yy = np.asarray(c_labels)[valid]
+        ys = np.asarray(s_labels)[valid]
+        p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
         for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
             m = classification_metrics(lab, pred, num_class, auc_present_only=True)
             blog.update({f"{metric_prefix}pre/{nm}/batch/{k}": v for k, v in m.items()})
@@ -205,7 +210,7 @@ def iris_style_transfer_openeds2019(
             vgg_params, c1_params, c2_params, c_imgs_j, result.x, masks_j, bboxes_j
         )
         ious, miou = post_seg(ritnet_params, new_frames, stage(seg_gt))
-        p1v, p2v = jnp.asarray(np.asarray(p1)[valid]), jnp.asarray(np.asarray(p2)[valid])
+        p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
         for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
             m = classification_metrics(lab, pred, num_class, auc_present_only=True)
             blog.update({f"{metric_prefix}post/{nm}/batch/{k}": v for k, v in m.items()})
@@ -238,11 +243,11 @@ def iris_style_transfer_openeds2019(
     log[f"{metric_prefix}/s_loss"] = s_loss
     log[f"{metric_prefix}/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
 
-    yy = jnp.asarray(np.concatenate(agg["c_labels"]))
-    ys = jnp.asarray(np.concatenate(agg["s_labels"]))
+    yy = np.concatenate(agg["c_labels"])
+    ys = np.concatenate(agg["s_labels"])
     for phase in ("pre", "post"):
         for nm in ("1", "2"):
-            pred = jnp.asarray(np.concatenate(agg[f"{phase}{nm}"]))
+            pred = np.concatenate(agg[f"{phase}{nm}"])
             m = classification_metrics(yy, pred, num_class)
             log.update({f"{metric_prefix}{phase}/c{nm}/{k}": v for k, v in m.items()})
             m = classification_metrics(ys, pred, num_class)
@@ -284,7 +289,7 @@ def main():
 
     # mesh: pure data parallelism — every program in this pipeline is
     # batch-parallel (SURVEY §2.3); params replicate, batches shard
-    mesh = make_mesh(model_parallel=1)
+    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=1)
     n_data = mesh.shape["data"]
     if cfg.bs % n_data:
         raise SystemExit(f"batch size {cfg.bs} not divisible by {n_data} data shards")

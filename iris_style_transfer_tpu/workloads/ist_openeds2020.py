@@ -261,7 +261,7 @@ def main():
     # batch-parallel, SURVEY §2.3); params replicate, batches shard
     from ..parallel import make_mesh, shard_params
 
-    mesh = make_mesh(model_parallel=1)
+    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=1)
     if cfg.bs % mesh.shape["data"]:
         raise SystemExit(
             f"batch size {cfg.bs} not divisible by {mesh.shape['data']} data shards"

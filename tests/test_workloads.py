@@ -21,6 +21,13 @@ from iris_style_transfer_tpu.data.synthetic import (
 
 pytestmark = pytest.mark.slow  # full-tier only: see pyproject.toml
 
+# The mains run with --n_devices 2: these tests validate end-to-end WIRING
+# (argparse -> data -> programs -> metrics -> artifacts), while 8-device
+# sharding equivalence is covered by test_parallel and the driver's
+# dryrun_multichip.  On a 1-core host, every cross-device rendezvous of an
+# 8-virtual-device program stalls for tens of seconds, which made these
+# smokes unrunnable exactly where the suite must stay casually runnable.
+
 # 48x64 divides cleanly through RITnet's 4 avg-pools (/16) and, after the
 # EfficientNet height pad (+16 -> 64), through the B7 encoder's 5 stride-2
 # stages (/32)
@@ -47,7 +54,7 @@ def test_iris_classification_main(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(wl, "synthetic_openeds2019", _tiny_openeds2019)
     monkeypatch.setattr(sys, "argv", [
-        "iris_classification", "-E", "1", "-bs", "8", "-SP", "-1",
+        "iris_classification", "-E", "1", "-bs", "8", "-SP", "-1", "--n_devices", "2",
         "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
     ])
     log = wl.main()
@@ -63,7 +70,7 @@ def test_gaze_estimation_main(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(wl, "synthetic_eye_batch", _tiny_eye_batch)
     monkeypatch.setattr(sys, "argv", [
-        "gaze_estimation", "-E", "1", "-bs", "16", "-SP", "1",
+        "gaze_estimation", "-E", "1", "-bs", "16", "-SP", "1", "--n_devices", "2",
         "-estimator", "1", "--data_dir", str(tmp_path / "nodata"),
     ])
     log = wl.main()
@@ -81,7 +88,7 @@ def test_gaze_estimation_main(tmp_path, monkeypatch):
 
     # --resume continues each lr run past the checkpointed epoch
     monkeypatch.setattr(sys, "argv", [
-        "gaze_estimation", "-E", "2", "-bs", "16", "-SP", "-1",
+        "gaze_estimation", "-E", "2", "-bs", "16", "-SP", "-1", "--n_devices", "2",
         "-estimator", "1", "--data_dir", str(tmp_path / "nodata"), "--resume",
     ])
     log2 = wl.main()
@@ -94,7 +101,7 @@ def test_ist_openeds2019_main_and_sweep_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(wl, "synthetic_openeds2019", _tiny_openeds2019)
     monkeypatch.setattr(sys, "argv", [
-        "ist2019", "-bs", "8", "--nst_epochs", "2",
+        "ist2019", "-bs", "8", "--nst_epochs", "2", "--n_devices", "2",
         "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
     ])
     results = wl.main()
@@ -130,7 +137,7 @@ def test_ist_openeds2019_main_and_sweep_resume(tmp_path, monkeypatch):
     # but a DIFFERENT configuration must not be suppressed by the old
     # marker — done.json is config-keyed (utils.sweep_done)
     monkeypatch.setattr(sys, "argv", [
-        "ist2019", "-bs", "8", "--nst_epochs", "2", "-seed", "7",
+        "ist2019", "-bs", "8", "--nst_epochs", "2", "-seed", "7", "--n_devices", "2",
         "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
     ])
     results2 = wl.main()
@@ -143,7 +150,7 @@ def test_ist_openeds2020_main(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(wl, "synthetic_eye_batch", _tiny_eye_batch)
     monkeypatch.setattr(sys, "argv", [
-        "ist2020", "-bs", "8", "--nst_epochs", "2",
+        "ist2020", "-bs", "8", "--nst_epochs", "2", "--n_devices", "2",
         "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
     ])
     results = wl.main()
