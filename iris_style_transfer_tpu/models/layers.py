@@ -99,6 +99,95 @@ def conv2d(
     return out + p["b"].astype(out.dtype)
 
 
+def _conv_raw(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Stride-1 SAME-style conv with explicit symmetric padding (the only
+    form the VGG stack uses); shared by :func:`conv2d_mxu_dx`."""
+    pad = ((w.shape[0] - 1) // 2, (w.shape[0] - 1) // 2)
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[pad, pad],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def _conv_small_cin(x: jax.Array, w: jax.Array) -> jax.Array:
+    return _conv_raw(x, w)
+
+
+def _conv_small_cin_fwd(x, w):
+    return _conv_raw(x, w), (x, w)
+
+
+def _conv_small_cin_bwd(res, ct):
+    """Input gradient as one MXU matmul + 9 shifted adds.
+
+    For a first-layer conv (C_in = 3), XLA lowers the transposed conv
+    ``dx = conv_T(ct, w)`` to a VPU loop fusion: the natural matmul has
+    N = C_in = 3 output lanes, so the MXU tiling (128 lanes) would waste
+    125/128 of the array, and the fusion it picks instead was measured at
+    6.4 ms/closure — 22% of the whole 512px NST step (tools/perf_probe9.py,
+    round-3 trace).  Reassociating the contraction fixes the shape:
+
+        Y[b,h,w,(kh,kw,ci)] = sum_o ct[b,h,w,o] * w[kh,kw,ci,o]
+        dx[b,i,j,ci]        = sum_{kh,kw} Y[b, i-kh+P, j-kw+P, (kh,kw,ci)]
+
+    The matmul now has N = kh*kw*C_in = 27 lanes (4.7x fewer wasted than
+    3), runs on the MXU, and the shifted-window sum is one bandwidth-bound
+    fusion over a 27-channel buffer.  Weight/bias gradients reuse XLA's
+    standard conv-transpose (dead-code-eliminated when params are frozen,
+    as in NST).
+    """
+    x, w = res
+    kh, kw, ci, co = w.shape
+    ph = (kh - 1) // 2
+
+    wf = w.reshape(kh * kw * ci, co).astype(ct.dtype)
+    y = jax.lax.dot_general(
+        ct, wf, dimension_numbers=(((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ct.dtype)  # (B, H, W, kh*kw*ci)
+
+    b_, h_, w_, _ = ct.shape
+    ypad = jnp.pad(y, ((0, 0), (ph, ph), (ph, ph), (0, 0)))
+    dx = jnp.zeros(x.shape, ct.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            tap = jax.lax.slice(
+                ypad,
+                (0, 2 * ph - i, 2 * ph - j, (i * kw + j) * ci),
+                (b_, 2 * ph - i + h_, 2 * ph - j + w_, (i * kw + j + 1) * ci),
+            )
+            dx = dx + tap
+    dx = dx.astype(x.dtype)
+
+    # dw via XLA's standard conv-backward-filter; pruned by DCE on frozen
+    # params (jax only emits it when the caller differentiates w.r.t. w)
+    _, pull = jax.vjp(lambda wv: _conv_raw(x, wv), w)
+    (dw,) = pull(ct)
+    return dx, dw
+
+
+_conv_small_cin.defvjp(_conv_small_cin_fwd, _conv_small_cin_bwd)
+
+# probe escape hatch (tools/perf_probe10.py A/B): False restores XLA's own
+# conv-transpose for small-C_in input gradients
+USE_MXU_DX = True
+
+
+def conv2d_mxu_dx(x: jax.Array, p: Params) -> jax.Array:
+    """Stride-1 symmetric-pad conv whose input gradient is the
+    MXU-reassociated form (see ``_conv_small_cin_bwd``).  Numerically
+    identical to :func:`conv2d`; use for first-layer convs (small C_in)
+    on gradient-hot paths like the NST closure."""
+    if not USE_MXU_DX:
+        return conv2d(x, p, stride=1, padding=(p["w"].shape[0] - 1) // 2)
+    out = _conv_small_cin(x, p["w"])
+    return out + p["b"].astype(out.dtype)
+
+
 def linear(x: jax.Array, p: Params) -> jax.Array:
     out = jnp.dot(x, p["w"].astype(x.dtype))
     return out + p["b"].astype(out.dtype)

@@ -170,7 +170,13 @@ class VGG19:
                 cname = f"conv{block}_{conv_in_block}"
                 bname = f"bn{block}_{conv_in_block}"
                 rname = f"relu{block}_{conv_in_block}"
-                h = L.conv2d(h, params[cname], stride=1, padding=1)
+                if h.shape[-1] * 9 <= 128:
+                    # small-C_in convs (conv1_1): MXU-reassociated input
+                    # gradient — XLA's own dx lowering for C_in=3 is a VPU
+                    # fusion costing 22% of the NST closure (perf_probe9)
+                    h = L.conv2d_mxu_dx(h, params[cname])
+                else:
+                    h = L.conv2d(h, params[cname], stride=1, padding=1)
                 if cname in taps_wanted:
                     taps[cname] = h
                 idx += 1

@@ -38,30 +38,54 @@ import jax.numpy as jnp
 
 
 class LBFGSState(NamedTuple):
-    s_hist: jax.Array  # (m, N) previous steps, circular buffer
-    y_hist: jax.Array  # (m, N) previous gradient differences, circular
+    s_hist: jax.Array  # (m, *shape) previous steps, circular buffer
+    y_hist: jax.Array  # (m, *shape) previous gradient differences, circular
     rho: jax.Array  # (m,) 1/(y.s) per slot; 0 marks a never-written slot
     gamma: jax.Array  # () initial Hessian scale
-    prev_g: jax.Array  # (N,) gradient at previous closure
-    prev_step: jax.Array  # (N,) previous update t*d
+    prev_g: jax.Array  # (*shape,) gradient at previous closure
+    prev_step: jax.Array  # (*shape,) previous update t*d
     iteration: jax.Array  # () global iteration counter
     count: jax.Array  # () number of accepted pairs (next write: count % m)
 
 
-def lbfgs_init(n: int, history_size: int = 10, dtype=jnp.float32) -> LBFGSState:
-    """``dtype`` applies to the (m, N) history buffers only (bfloat16
+def lbfgs_init(
+    shape: int | tuple[int, ...], history_size: int = 10, dtype=jnp.float32
+) -> LBFGSState:
+    """``shape`` is the parameter array's shape (an int means a flat
+    vector).  The state keeps the parameter's NATIVE shape: flattening a
+    TPU-tiled image array to (N,) forces a tiled->linear relayout on every
+    gradient/update crossing, measured at ~5 ms per 512px bs4 NST closure
+    (18% of the step — tools/perf_probe9.py); shape-native buffers keep
+    every elementwise op and MXU contraction in the array's own layout.
+
+    ``dtype`` applies to the (m, *shape) history buffers only (bfloat16
     halves their HBM traffic per direction computation); curvature scalars
     and the previous gradient/step stay float32."""
     m = history_size
+    if isinstance(shape, int):
+        shape = (shape,)
     return LBFGSState(
-        s_hist=jnp.zeros((m, n), dtype),
-        y_hist=jnp.zeros((m, n), dtype),
+        s_hist=jnp.zeros((m, *shape), dtype),
+        y_hist=jnp.zeros((m, *shape), dtype),
         rho=jnp.zeros((m,), jnp.float32),
         gamma=jnp.ones((), jnp.float32),
-        prev_g=jnp.zeros((n,), jnp.float32),
-        prev_step=jnp.zeros((n,), jnp.float32),
+        prev_g=jnp.zeros(shape, jnp.float32),
+        prev_step=jnp.zeros(shape, jnp.float32),
         iteration=jnp.zeros((), jnp.int32),
         count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _axes(a: jax.Array) -> tuple[int, ...]:
+    """All axes of a parameter-shaped array."""
+    return tuple(range(a.ndim))
+
+
+def _vdot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32 full contraction of two parameter-shaped arrays (no reshape)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=((_axes(a), _axes(b)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -103,20 +127,25 @@ def _compact_direction(state: LBFGSState, g: jax.Array) -> jax.Array:
     bufdt = S.dtype  # bf16 histories: all dots accumulate f32 on the MXU
     gb = g.astype(bufdt)
 
+    # contraction axes: everything but the history axis (parameter arrays
+    # keep their native shape — see lbfgs_init)
+    pax = tuple(range(1, S.ndim))
+    gax = _axes(gb)
+
     Sg = jax.lax.dot_general(
-        S, gb, dimension_numbers=(((1,), (0,)), ((), ())),
+        S, gb, dimension_numbers=((pax, gax), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (m,)
     Yg = jax.lax.dot_general(
-        Y, gb, dimension_numbers=(((1,), (0,)), ((), ())),
+        Y, gb, dimension_numbers=((pax, gax), ((), ())),
         preferred_element_type=jnp.float32,
     )
     SY = jax.lax.dot_general(
-        S, Y, dimension_numbers=(((1,), (1,)), ((), ())),
+        S, Y, dimension_numbers=((pax, pax), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (m, m): (i, j) = s_i . y_j   (slot order)
     YY = jax.lax.dot_general(
-        Y, Y, dimension_numbers=(((1,), (1,)), ((), ())),
+        Y, Y, dimension_numbers=((pax, pax), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -152,7 +181,7 @@ def _compact_direction(state: LBFGSState, g: jax.Array) -> jax.Array:
     St = jax.lax.dot_general(
         S, top.astype(bufdt), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # S^T top, (N,)
+    )  # S^T top, (*shape,)
     Yb = jax.lax.dot_general(
         Y, bot.astype(bufdt), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -171,7 +200,7 @@ def _two_loop(state: LBFGSState, g: jax.Array) -> jax.Array:
         q, alphas = carry
         idx = perm[m - 1 - i]  # most recent first
         valid = state.rho[idx] > 0
-        alpha = state.rho[idx] * jnp.dot(state.s_hist[idx], q)
+        alpha = state.rho[idx] * _vdot(state.s_hist[idx], q)
         alpha = jnp.where(valid, alpha, 0.0)
         q = q - alpha * state.y_hist[idx]
         return q, alphas.at[idx].set(alpha)
@@ -182,7 +211,7 @@ def _two_loop(state: LBFGSState, g: jax.Array) -> jax.Array:
     def fwd(i, r):
         idx = perm[i]  # oldest first
         valid = state.rho[idx] > 0
-        beta = state.rho[idx] * jnp.dot(state.y_hist[idx], r)
+        beta = state.rho[idx] * _vdot(state.y_hist[idx], r)
         upd = state.s_hist[idx] * (alphas[idx] - beta)
         return r + jnp.where(valid, upd, 0.0)
 
@@ -205,23 +234,24 @@ def lbfgs_step(
     # curvature pair from the previous iteration
     y = g - state.prev_g
     s = state.prev_step
-    ys = jnp.dot(y, s)
+    ys = _vdot(y, s)
     accept = (~first) & (ys > 1e-10)
 
     # circular-buffer write: overwrite slot count % m with the new pair (a
     # single-row write), or write the existing row back on reject (no-op
     # values, same memory shape — keeps the scan carry layout fixed)
     w = state.count % m
+    zeros = (0,) * (state.s_hist.ndim - 1)
 
     def push(buf, v):
         row = jnp.where(accept, v.astype(buf.dtype), buf[w])
-        return jax.lax.dynamic_update_slice(buf, row[None], (w, 0))
+        return jax.lax.dynamic_update_slice(buf, row[None], (w, *zeros))
 
     s_hist = push(state.s_hist, s)
     y_hist = push(state.y_hist, y)
     new_rho = jnp.where(accept, 1.0 / jnp.maximum(ys, 1e-30), state.rho[w])
     rho = state.rho.at[w].set(new_rho)
-    gamma = jnp.where(accept, ys / jnp.maximum(jnp.dot(y, y), 1e-30), state.gamma)
+    gamma = jnp.where(accept, ys / jnp.maximum(_vdot(y, y), 1e-30), state.gamma)
     count = state.count + accept.astype(state.count.dtype)
 
     tmp = LBFGSState(

@@ -51,6 +51,7 @@ def make_nst_fn(
     lbfgs_method: str = "compact",
     lbfgs_dtype=jnp.float32,
     pallas_gram: bool | str = "auto",
+    lbfgs_flat: bool = False,
     scan_unroll: int = 1,
     history_every: int = 0,
     content_layers: Sequence[str] = ("relu4_2",),
@@ -121,14 +122,21 @@ def make_nst_fn(
                 noise_key = jax.random.PRNGKey(0)
             x0 = jax.random.uniform(noise_key, c_img.shape, jnp.float32)
 
-        n = x0.size
         shape = x0.shape
+        # optimizer state in the image's NATIVE shape by default: a flat
+        # (N,) state forces tiled<->linear relayouts of the image/gradient
+        # every closure, ~5 ms/step at 512px bs4 (perf_probe9/10);
+        # lbfgs_flat=True keeps the old layout for A/B probing
+        opt_shape = x0.size if lbfgs_flat else shape
         n_snaps = (epochs // history_every) if history_every else 0
 
         if optimizer == "lbfgs":
-            opt_state0 = lbfgs_init(n, history_size, dtype=lbfgs_dtype)
+            opt_state0 = lbfgs_init(opt_shape, history_size, dtype=lbfgs_dtype)
         elif optimizer == "adam":
-            opt_state0 = (jnp.zeros((n,)), jnp.zeros((n,)))  # (m, v)
+            opt_state0 = (
+                jnp.zeros(opt_shape, jnp.float32),
+                jnp.zeros(opt_shape, jnp.float32),
+            )  # (m, v)
         else:
             raise ValueError(f"unknown optimizer: {optimizer}")
 
@@ -140,14 +148,14 @@ def make_nst_fn(
             x, opt_state, snaps = carry
             x = jnp.clip(x, 0.0, 1.0)  # the closure's clamp (pipelines.py:81-82)
             (_, (c_loss, s_loss)), g = grad_fn(x)
-            g_flat = g.reshape(-1)
+            g_opt = g.reshape(-1) if lbfgs_flat else g
             if optimizer == "lbfgs":
-                update, opt_state = lbfgs_step(opt_state, g_flat, lr, method=lbfgs_method)
+                update, opt_state = lbfgs_step(opt_state, g_opt, lr, method=lbfgs_method)
             else:
                 m, v = opt_state
                 t = i.astype(jnp.float32) + 1.0
-                m = adam_b1 * m + (1 - adam_b1) * g_flat
-                v = adam_b2 * v + (1 - adam_b2) * g_flat * g_flat
+                m = adam_b1 * m + (1 - adam_b1) * g_opt
+                v = adam_b2 * v + (1 - adam_b2) * g_opt * g_opt
                 mhat = m / (1 - adam_b1**t)
                 vhat = v / (1 - adam_b2**t)
                 update = -lr * mhat / (jnp.sqrt(vhat) + 1e-8)
@@ -162,7 +170,7 @@ def make_nst_fn(
                     lambda s: s,
                     snaps,
                 )
-            x = x + update.reshape(shape)
+            x = x + (update.reshape(shape) if lbfgs_flat else update)
             return (x, opt_state, snaps), (c_loss, s_loss)
 
         (x, _, snaps), (c_hist, s_hist) = jax.lax.scan(

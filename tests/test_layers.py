@@ -173,3 +173,32 @@ def test_leaky_relu_matches_torch():
     got = np.asarray(L.leaky_relu(jnp.asarray(x)))
     want = torch.nn.functional.leaky_relu(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_conv2d_mxu_dx_matches_conv2d_grads():
+    """The MXU-reassociated first-layer conv (layers._conv_small_cin) must
+    equal the plain conv in value AND in both gradients — it exists purely
+    to dodge XLA's VPU lowering of the C_in=3 transposed conv, which was
+    22% of the 512px NST closure (tools/perf_probe9.py)."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 3)).astype(np.float32))
+    p = {
+        "w": jnp.asarray(rng.standard_normal((3, 3, 3, 8)).astype(np.float32) * 0.1),
+        "b": jnp.asarray(rng.standard_normal(8).astype(np.float32)),
+    }
+
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(L.conv2d_mxu_dx(x, p))
+        want = np.asarray(L.conv2d(x, p, stride=1, padding=1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+        def f_ref(x, w):
+            return jnp.sum(jnp.sin(L.conv2d(x, {"w": w, "b": p["b"]}, stride=1, padding=1)))
+
+        def f_new(x, w):
+            return jnp.sum(jnp.sin(L._conv_small_cin(x, w) + p["b"]))
+
+        dx1, dw1 = jax.grad(f_ref, argnums=(0, 1))(x, p["w"])
+        dx2, dw2 = jax.grad(f_new, argnums=(0, 1))(x, p["w"])
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw2), np.asarray(dw1), rtol=1e-4, atol=1e-5)

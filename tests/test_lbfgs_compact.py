@@ -59,3 +59,38 @@ def test_compact_bf16_near_cancelling_pair_stays_finite():
     assert int(state.count) == 1  # the pair WAS accepted
     upd2, _ = lbfgs_step(state, jnp.array([0.5, -0.3, 0.2, 0.1]), method="compact")
     assert np.isfinite(np.asarray(upd2)).all()
+
+
+def test_shape_native_state_matches_flat():
+    """lbfgs state in the parameter's native shape (e.g. an image batch)
+    must produce the same trajectory as the flat (N,) form — the native
+    form exists to avoid tiled<->linear relayouts on TPU (perf_probe9)."""
+    rng = np.random.default_rng(3)
+    shape = (2, 3, 4)  # 24 params as a 3-d array
+    n = int(np.prod(shape))
+    M = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(M @ M.T + np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def loss_flat(x):
+        return 0.5 * x @ A @ x - b @ x + 0.1 * jnp.sum(x**4)
+
+    def loss_nd(x):
+        return loss_flat(x.reshape(-1))
+
+    x0 = rng.standard_normal(n).astype(np.float32)
+    xf = jnp.asarray(x0)
+    xn = jnp.asarray(x0.reshape(shape))
+    sf = lbfgs_init(n, 5)
+    sn = lbfgs_init(shape, 5)
+    for _ in range(12):  # past history wrap
+        gf = jax.grad(loss_flat)(xf)
+        gn = jax.grad(loss_nd)(xn)
+        uf, sf = lbfgs_step(sf, gf, method="compact")
+        un, sn = lbfgs_step(sn, gn, method="compact")
+        xf = xf + uf
+        xn = xn + un
+    scale = float(jnp.abs(xf).max())
+    np.testing.assert_allclose(
+        np.asarray(xn).reshape(-1), np.asarray(xf), atol=2e-4 * scale
+    )

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def load_xspace(path):
     last = None
     for mod in (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
         "tensorflow.core.profiler.protobuf.xplane_pb2",
         "tsl.profiler.protobuf.xplane_pb2",
         "tensorboard_plugin_profile.protobuf.xplane_pb2",
