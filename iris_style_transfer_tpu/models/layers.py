@@ -99,7 +99,7 @@ def conv2d(
     return out + p["b"].astype(out.dtype)
 
 
-def _conv_raw(x: jax.Array, w: jax.Array) -> jax.Array:
+def _conv_raw(x: jax.Array, w: jax.Array, groups: int = 1) -> jax.Array:
     """Stride-1 SAME-style conv with explicit symmetric padding (the only
     form the VGG stack uses); shared by :func:`conv2d_mxu_dx`."""
     pad = ((w.shape[0] - 1) // 2, (w.shape[0] - 1) // 2)
@@ -109,19 +109,20 @@ def _conv_raw(x: jax.Array, w: jax.Array) -> jax.Array:
         window_strides=(1, 1),
         padding=[pad, pad],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
 
 
-@jax.custom_vjp
-def _conv_small_cin(x: jax.Array, w: jax.Array) -> jax.Array:
-    return _conv_raw(x, w)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_small_cin(x: jax.Array, w: jax.Array, groups: int = 1) -> jax.Array:
+    return _conv_raw(x, w, groups)
 
 
-def _conv_small_cin_fwd(x, w):
-    return _conv_raw(x, w), (x, w)
+def _conv_small_cin_fwd(x, w, groups):
+    return _conv_raw(x, w, groups), (x, w)
 
 
-def _conv_small_cin_bwd(res, ct):
+def _conv_small_cin_bwd(groups, res, ct):
     """Input gradient as one MXU matmul + 9 shifted adds.
 
     For a first-layer conv (C_in = 3), XLA lowers the transposed conv
@@ -141,14 +142,29 @@ def _conv_small_cin_bwd(res, ct):
     as in NST).
     """
     x, w = res
-    kh, kw, ci, co = w.shape
+    kh, kw, ci, co_packed = w.shape
     ph = (kh - 1) // 2
+    g = groups
+    co = co_packed // g
+    cin_packed = g * ci  # == x.shape[-1]
 
-    wf = w.reshape(kh * kw * ci, co).astype(ct.dtype)
+    if g == 1:
+        wf = w.reshape(kh * kw * ci, co).astype(ct.dtype)
+    else:
+        # grouped: block-diagonal packed weight so the whole dx stays one
+        # matmul — rows (g, o), cols (k, g', ci), nonzero only at g == g'.
+        # The g x zero-FLOP waste is negligible (the matrix is tiny) and
+        # buys N = kh*kw*g*ci output lanes.
+        wg = w.reshape(kh * kw, ci, g, co)
+        eye = jnp.eye(g, dtype=w.dtype)
+        w2 = jnp.einsum("kcgo,gh->gokhc", wg, eye)
+        wf = w2.reshape(g * co, kh * kw * cin_packed).astype(ct.dtype)
+
     y = jax.lax.dot_general(
-        ct, wf, dimension_numbers=(((3,), (1,)), ((), ())),
+        ct, wf,
+        dimension_numbers=(((3,), (0,) if g > 1 else (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(ct.dtype)  # (B, H, W, kh*kw*ci)
+    ).astype(ct.dtype)  # (B, H, W, kh*kw*cin_packed)
 
     b_, h_, w_, _ = ct.shape
     ypad = jnp.pad(y, ((0, 0), (ph, ph), (ph, ph), (0, 0)))
@@ -157,15 +173,15 @@ def _conv_small_cin_bwd(res, ct):
         for j in range(kw):
             tap = jax.lax.slice(
                 ypad,
-                (0, 2 * ph - i, 2 * ph - j, (i * kw + j) * ci),
-                (b_, 2 * ph - i + h_, 2 * ph - j + w_, (i * kw + j + 1) * ci),
+                (0, 2 * ph - i, 2 * ph - j, (i * kw + j) * cin_packed),
+                (b_, 2 * ph - i + h_, 2 * ph - j + w_, (i * kw + j + 1) * cin_packed),
             )
             dx = dx + tap
     dx = dx.astype(x.dtype)
 
     # dw via XLA's standard conv-backward-filter; pruned by DCE on frozen
     # params (jax only emits it when the caller differentiates w.r.t. w)
-    _, pull = jax.vjp(lambda wv: _conv_raw(x, wv), w)
+    _, pull = jax.vjp(lambda wv: _conv_raw(x, wv, g), w)
     (dw,) = pull(ct)
     return dx, dw
 
@@ -177,14 +193,16 @@ _conv_small_cin.defvjp(_conv_small_cin_fwd, _conv_small_cin_bwd)
 USE_MXU_DX = True
 
 
-def conv2d_mxu_dx(x: jax.Array, p: Params) -> jax.Array:
+def conv2d_mxu_dx(x: jax.Array, p: Params, groups: int = 1) -> jax.Array:
     """Stride-1 symmetric-pad conv whose input gradient is the
     MXU-reassociated form (see ``_conv_small_cin_bwd``).  Numerically
-    identical to :func:`conv2d`; use for first-layer convs (small C_in)
-    on gradient-hot paths like the NST closure."""
+    identical to :func:`conv2d`; use for first-layer convs (small
+    per-group C_in) on gradient-hot paths like the NST closure."""
     if not USE_MXU_DX:
-        return conv2d(x, p, stride=1, padding=(p["w"].shape[0] - 1) // 2)
-    out = _conv_small_cin(x, p["w"])
+        return conv2d(
+            x, p, stride=1, padding=(p["w"].shape[0] - 1) // 2, groups=groups
+        )
+    out = _conv_small_cin(x, p["w"], groups)
     return out + p["b"].astype(out.dtype)
 
 
@@ -264,6 +282,51 @@ def _max_pool_nonoverlap_bwd(window, res, ct):
 
 
 _max_pool_nonoverlap.defvjp(_max_pool_nonoverlap_fwd, _max_pool_nonoverlap_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def relu_max_pool(x: jax.Array, window: int = 2) -> jax.Array:
+    """Fused ``max_pool(relu(x))`` for non-overlapping windows.
+
+    Exists for the backward: composing the two ops' VJPs makes XLA
+    materialize TWO full-resolution upsampled arrays (the pooled
+    cotangent and the pooled max broadcast back to input size) before a
+    separate select fusion — measured 3.97 ms/closure at the 512px NST
+    config, ~9x the bandwidth roofline (tools/perf_probe9.py round-3
+    trace).  Writing the whole backward in the windowed 6-d domain keeps
+    both broadcasts inside one fusion: read x, the pooled max and the
+    pooled cotangent, write the gradient — nothing full-res in between.
+
+    Gradient semantics match ``max_pool(relu(x))`` with
+    ``_max_pool_nonoverlap``'s tie handling: every window element that is
+    positive AND equals the window max receives the full cotangent.
+    """
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h // window, window, w // window, window, c)
+    return jnp.max(jax.nn.relu(xr), axis=(2, 4))
+
+
+def _relu_max_pool_fwd(x, window):
+    y = relu_max_pool(x, window)
+    return y, (x, y)
+
+
+def _relu_max_pool_bwd(window, res, ct):
+    x, y = res
+    b, h, w, c = x.shape
+    x6 = x.reshape(b, h // window, window, w // window, window, c)
+    keep = (x6 > 0) & (x6 == y[:, :, None, :, None, :])
+    g6 = jnp.where(keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype))
+    return (g6.reshape(b, h, w, c),)
+
+
+relu_max_pool.defvjp(_relu_max_pool_fwd, _relu_max_pool_bwd)
+
+# Default OFF: measured exactly neutral on the 512px NST closure
+# (46.05 vs 45.99 steps/s, tools/perf_probe11.py) — the composed ops'
+# cost is the 25%-occupancy batch-in-sublanes layout XLA picks at bs4,
+# not the fusion structure, so the simpler composed path stays canonical.
+FUSE_RELU_POOL = False
 
 
 def max_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:

@@ -137,6 +137,7 @@ class VGG19:
         compute_dtype=jnp.float32,
         truncate: bool = False,
         bn: bool = False,
+        batch_groups: int = 1,
     ):
         """x: (B, H, W, 3) in [0,1].  Returns (final, content_feats,
         style_feats).  Taps stay in ``compute_dtype`` (losses and style
@@ -146,23 +147,47 @@ class VGG19:
         ``truncate=True`` stops after the deepest requested tap (the NST
         loop never needs the final features — saves ~30% of the FLOPs;
         ``final`` is then the last computed activation).
+
+        ``batch_groups=g`` runs a BATCH-PACKED forward: x is
+        (1, H, W, g*3) holding g images stacked batch-major on the
+        channel axis, and every conv becomes a g-group conv with weights
+        tiled per group — numerically the per-image forward, but with no
+        size-g batch dimension.  Built to attack the 25%-vreg-occupancy
+        batch-in-sublanes layout XLA picks at small batch; measured
+        4.4x SLOWER on v5e (XLA's grouped-conv lowering dominates,
+        tools/perf_probe12.py) and kept default-off as the documented
+        dead end.  Taps come back packed the same way.
         """
         taps_wanted = set(content_layers) | set(style_layers)
         table = VGG19_BN_LAYERS if bn else VGG19_LAYERS
         stop_idx = max(table[n] for n in taps_wanted) if truncate else None
+        gN = batch_groups
         # normalization inside the model, as the reference (vgg.py:81)
-        h = imagenet_normalize(x.astype(jnp.float32))
+        if gN > 1:
+            xs = x.shape
+            h = imagenet_normalize(
+                x.astype(jnp.float32).reshape(*xs[:-1], gN, xs[-1] // gN)
+            ).reshape(xs)
+        else:
+            h = imagenet_normalize(x.astype(jnp.float32))
         if mask is not None:
             h = h * mask.astype(h.dtype)
         h = h.astype(compute_dtype)
 
         taps: dict[str, jax.Array] = {}
         block, conv_in_block, idx = 1, 1, 0
-        for c in _CFG:
+        fuse_next_pool = False
+        for ci, c in enumerate(_CFG):
             if stop_idx is not None and idx > stop_idx:
                 break
             if c == "M":
-                h = L.max_pool(h, 2, 2)
+                if fuse_next_pool:
+                    # relu+pool in one VJP — keeps the backward in the
+                    # windowed domain (see layers.relu_max_pool)
+                    h = L.relu_max_pool(h, 2)
+                    fuse_next_pool = False
+                else:
+                    h = L.max_pool(h, 2, 2)
                 idx += 1
                 block += 1
                 conv_in_block = 1
@@ -170,13 +195,22 @@ class VGG19:
                 cname = f"conv{block}_{conv_in_block}"
                 bname = f"bn{block}_{conv_in_block}"
                 rname = f"relu{block}_{conv_in_block}"
-                if h.shape[-1] * 9 <= 128:
-                    # small-C_in convs (conv1_1): MXU-reassociated input
-                    # gradient — XLA's own dx lowering for C_in=3 is a VPU
-                    # fusion costing 22% of the NST closure (perf_probe9)
-                    h = L.conv2d_mxu_dx(h, params[cname])
+                p = params[cname]
+                if gN > 1:
+                    # same weights for every packed image: tile along the
+                    # O axis (group-major), loop-invariant so XLA hoists
+                    # it out of the NST scan
+                    p = {
+                        "w": jnp.tile(p["w"], (1, 1, 1, gN)),
+                        "b": jnp.tile(p["b"], (gN,)),
+                    }
+                if h.shape[-1] * 9 <= 128 * gN:
+                    # small-per-group-C_in convs (conv1_1): MXU-reassociated
+                    # input gradient — XLA's own dx lowering for C_in=3 is a
+                    # VPU fusion costing 22% of the NST closure (perf_probe9)
+                    h = L.conv2d_mxu_dx(h, p, groups=gN)
                 else:
-                    h = L.conv2d(h, params[cname], stride=1, padding=1)
+                    h = L.conv2d(h, p, stride=1, padding=1, groups=gN)
                 if cname in taps_wanted:
                     taps[cname] = h
                 idx += 1
@@ -185,9 +219,18 @@ class VGG19:
                     if bname in taps_wanted:
                         taps[bname] = h
                     idx += 1
-                h = jax.nn.relu(h)
-                if rname in taps_wanted:
-                    taps[rname] = h
+                nxt = _CFG[ci + 1] if ci + 1 < len(_CFG) else None
+                if (
+                    L.FUSE_RELU_POOL
+                    and nxt == "M"
+                    and rname not in taps_wanted
+                    and (stop_idx is None or idx + 1 <= stop_idx)
+                ):
+                    fuse_next_pool = True  # relu applied inside the pool
+                else:
+                    h = jax.nn.relu(h)
+                    if rname in taps_wanted:
+                        taps[rname] = h
                 idx += 1
                 conv_in_block += 1
 

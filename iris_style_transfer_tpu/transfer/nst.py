@@ -52,6 +52,7 @@ def make_nst_fn(
     lbfgs_dtype=jnp.float32,
     pallas_gram: bool | str = "auto",
     lbfgs_flat: bool = False,
+    pack_batch: bool = False,
     scan_unroll: int = 1,
     history_every: int = 0,
     content_layers: Sequence[str] = ("relu4_2",),
@@ -66,6 +67,14 @@ def make_nst_fn(
     of the reference's every-closure host copy.
     """
 
+    # pack_batch: run the whole optimization with the batch stacked on the
+    # channel axis ((B, H, W, 3) -> (1, H, W, B*3), g-group convs).
+    # Numerically identical per-image (BN loss only; the channel-count
+    # normalizer is corrected below) but measured 4.4x SLOWER on v5e —
+    # XLA's grouped-conv lowering swamps the vreg-occupancy win it was
+    # built for (tools/perf_probe12.py).  Kept default-off as the
+    # documented dead end.
+    pack_batch = pack_batch and bn_loss
     vgg_apply = functools.partial(
         VGG19.apply,
         content_layers=tuple(content_layers),
@@ -89,13 +98,30 @@ def make_nst_fn(
             return gram_matrix_pallas(f)
         return gram_matrix(f)
 
+    def _pack(img):
+        b, hh, ww, cc = img.shape
+        return jnp.transpose(img, (1, 2, 0, 3)).reshape(1, hh, ww, b * cc)
+
+    def _unpack(p, b):
+        _, hh, ww, bc = p.shape
+        return jnp.transpose(p.reshape(hh, ww, b, bc // b), (2, 0, 1, 3))
+
     def fn(vgg_params, c_img, s_img, noise_key=None):
         c_img = c_img.astype(jnp.float32)
         s_img = s_img.astype(jnp.float32)
 
+        nb = c_img.shape[0]
+        packed = pack_batch and nb > 1
+        if packed:
+            c_img = _pack(c_img)
+            s_img = _pack(s_img)
+            va = functools.partial(vgg_apply, batch_groups=nb)
+        else:
+            va = vgg_apply
+
         # target features: one VGG pass each (pipelines.py:62-63)
-        _, c_feats, _ = vgg_apply(vgg_params, c_img)
-        _, _, s_feats = vgg_apply(vgg_params, s_img)
+        _, c_feats, _ = va(vgg_params, c_img)
+        _, _, s_feats = va(vgg_params, s_img)
         c_targets = [jax.lax.stop_gradient(f) for f in c_feats]
         if bn_loss:
             s_targets = [
@@ -105,10 +131,15 @@ def make_nst_fn(
             s_targets = [jax.lax.stop_gradient(_gram(f)) for f in s_feats]
 
         def loss_fn(x):
-            _, x_c, x_s = vgg_apply(vgg_params, x)
+            _, x_c, x_s = va(vgg_params, x)
             c_loss = content_loss_l2(x_c, c_targets)
             if bn_loss:
                 s_loss = style_loss_bn(x_s, s_targets)
+                if packed:
+                    # style_loss_bn normalizes each tap's term by its
+                    # channel count; packed taps have nb*C channels, so
+                    # restore the per-image normalizer
+                    s_loss = s_loss * nb
             else:
                 s_loss = style_loss_gram(x_s, s_targets, gram_fn=_gram)
             return c_loss * c_loss_weight + s_loss * s_loss_weight, (c_loss, s_loss)
@@ -177,6 +208,10 @@ def make_nst_fn(
             step, (x0, opt_state0, snaps0), jnp.arange(epochs), unroll=scan_unroll
         )
         x = jnp.clip(x, 0.0, 1.0)  # final clamp (pipelines.py:108-109)
+        if packed:
+            x = _unpack(x, nb)
+            if n_snaps:
+                snaps = jax.vmap(_unpack, in_axes=(0, None))(snaps, nb)
         return NSTResult(x, c_hist, s_hist, snaps if n_snaps else None)
 
     return fn

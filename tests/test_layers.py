@@ -202,3 +202,24 @@ def test_conv2d_mxu_dx_matches_conv2d_grads():
         dx2, dw2 = jax.grad(f_new, argnums=(0, 1))(x, p["w"])
     np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw2), np.asarray(dw1), rtol=1e-4, atol=1e-5)
+
+
+def test_relu_max_pool_matches_composed():
+    """Flag-gated fused relu+pool (layers.relu_max_pool, default off —
+    measured neutral, see BASELINE.md) must stay value- and
+    gradient-identical to max_pool(relu(x)) including tie handling."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    # force exact window ties to exercise the tie-to-all semantics
+    x = x.at[0, 0, 0, 0].set(x[0, 0, 1, 0])
+
+    def f_fused(x):
+        return jnp.sum(jnp.sin(L.relu_max_pool(x, 2)))
+
+    def f_comp(x):
+        return jnp.sum(jnp.sin(L.max_pool(jax.nn.relu(x), 2, 2)))
+
+    v1, g1 = jax.value_and_grad(f_fused)(x)
+    v2, g2 = jax.value_and_grad(f_comp)(x)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)

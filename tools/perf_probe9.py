@@ -48,22 +48,62 @@ def load_xspace(path):
     return space
 
 
-def categorize(name):
-    n = name.lower()
-    if "convolution" in n or "conv" in n:
-        # XLA HLO names: %convolution.N / fusions wrapping them keep 'conv'
-        return "conv"
-    if "reduce-window" in n or "reduce_window" in n or "select-and-scatter" in n:
-        return "pool"
-    if "all-reduce" in n or "collective" in n:
-        return "collective"
-    if "copy" in n or "transpose" in n or "bitcast" in n:
-        return "copy/layout"
-    if "fusion" in n or "loop" in n:
-        return "fusion(elementwise)"
-    if "dot" in n:
-        return "dot"
-    return "other"
+import re
+
+_SIG_RE = re.compile(r"^%?([a-zA-Z][\w.\-]*) = (\S+?) ([\w\-]+)\(")
+
+
+def signature(name):
+    """(opcode-ish, output-shape) signature parsed from the HLO text.
+
+    Categorizing on the FULL op string is wrong — fusion ops quote their
+    operands, so a fusion consuming a ``%copy-done`` would be counted as a
+    copy.  Parse ``%name = shape opcode(...)`` instead and keep the
+    distinctive fusion-kind prefix XLA bakes into names like
+    ``%broadcast_maximum_fusion.70``.
+    """
+    m = _SIG_RE.match(name)
+    if not m:
+        return name[:60]
+    opname, shape, opcode = m.groups()
+    shape = re.sub(r"\{[^}]*\}", "", shape)
+    pre = opname.split(".")[0]
+    if opcode == "fusion" and pre != "fusion":
+        return f"fusion:{pre} {shape}"
+    return f"{opcode} {shape}"
+
+
+def self_times(plane, ev_meta):
+    """Per-op-name self time from the (nested) XLA Ops timeline.
+
+    Events nest — the whole-scan ``while`` wraps every op in its body, so
+    flat aggregation double-counts.  Stack-walk the interval tree and
+    attribute each event its duration minus its direct children's.
+    """
+    import collections
+
+    line = [l for l in plane.lines if l.name == "XLA Ops"]
+    if not line:
+        return collections.Counter()
+    evs = sorted(line[0].events, key=lambda e: (e.offset_ps, -e.duration_ps))
+    self_t = collections.Counter()
+    stack, starts = [], []
+
+    def pop_to(t):
+        while stack and stack[-1][0] <= t:
+            end, name, child = stack.pop()
+            dur = end - starts.pop()
+            self_t[name] += (dur - child) / 1e12
+            if stack:
+                stack[-1][2] += dur
+
+    for e in evs:
+        name = ev_meta.get(e.metadata_id, str(e.metadata_id))
+        pop_to(e.offset_ps)
+        stack.append([e.offset_ps + e.duration_ps, name, 0])
+        starts.append(e.offset_ps)
+    pop_to(float("inf"))
+    return self_t
 
 
 def main():
@@ -120,7 +160,7 @@ def main():
     space = load_xspace(pbs[-1])
     print("planes:", [p.name for p in space.planes])
 
-    dev_planes = [p for p in space.planes if "TPU" in p.name or "/device" in p.name.lower()]
+    dev_planes = [p for p in space.planes if p.name.startswith("/device:")]
     if not dev_planes:
         print("DEAD END: no device plane in trace — host-side timeline only; "
               "op-level attribution unavailable through the tunnel")
@@ -128,21 +168,23 @@ def main():
 
     for plane in dev_planes:
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        by_name = collections.Counter()
-        for line in plane.lines:
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
-                by_name[name] += ev.duration_ps / 1e12
-        total = sum(by_name.values())
-        print(f"\n== plane {plane.name}: {total:.4f} s device-op time ==")
-        cats = collections.Counter()
-        for name, t in by_name.items():
-            cats[categorize(name)] += t
-        for cat, t in cats.most_common():
-            print(f"  {cat:<22} {t:.4f} s  {100 * t / max(total, 1e-12):.1f}%")
-        print(f"  -- top {args.top} ops --")
-        for name, t in by_name.most_common(args.top):
-            print(f"  {t:.4f} s  {name[:110]}")
+        self_t = self_times(plane, ev_meta)
+        if not self_t:
+            continue
+        total = sum(self_t.values())
+        print(f"\n== plane {plane.name}: {total * 1000:.1f} ms self-time "
+              f"over {args.epochs} closures = "
+              f"{total / args.epochs * 1000:.2f} ms/closure ==")
+        groups = collections.Counter()
+        counts = collections.Counter()
+        for name, t in self_t.items():
+            sig = signature(name)
+            groups[sig] += t
+            counts[sig] += 1
+        print(f"{'ms/closure':>10} {'%':>5} {'n':>4}  group")
+        for sig, t in groups.most_common(args.top):
+            print(f"{t / args.epochs * 1000:10.3f} {100 * t / total:5.1f} "
+                  f"{counts[sig]:4d}  {sig[:100]}")
 
 
 if __name__ == "__main__":
