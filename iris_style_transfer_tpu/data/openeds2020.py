@@ -31,6 +31,7 @@ def load_data_openeds2020(
     resnet_params: dict | None = None,
     chunk: int = 32,
     max_sequences: int | None = None,
+    compute_dtype=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (images-or-features, gaze labels).  Images are (N, 400, 640,
     1) float32; features are (N, 19) landmarks (estimator 1) or (N, 2048)
@@ -51,7 +52,12 @@ def load_data_openeds2020(
 
             @jax.jit
             def extract(batch):
-                segs = EfficientNet.apply(efficientnet_params, batch)
+                # bf16 B7 is +16% images/s with identical argmax labels
+                # (tools/perf_probe13.py)
+                segs = EfficientNet.apply(
+                    efficientnet_params, batch,
+                    compute_dtype=compute_dtype or jnp.float32,
+                )
                 return jax.vmap(extract_eye_landmarks)(segs)
 
         else:
@@ -60,7 +66,9 @@ def load_data_openeds2020(
             @jax.jit
             def extract(batch):
                 rgb = jnp.repeat(batch, 3, axis=-1)
-                return ResNet50.apply(resnet_params, rgb)
+                return ResNet50.apply(
+                    resnet_params, rgb, compute_dtype=compute_dtype or jnp.float32
+                )
 
     seq_paths, labels = _sequence_index(data_path, postfix, max_sequences)
 

@@ -115,11 +115,14 @@ class GazeEstimator2:
         extract_feature: bool = False,
         train: bool = False,
         dropout_key: jax.Array | None = None,
+        compute_dtype=jnp.float32,
     ) -> jax.Array:
         """x: (B, 2048) features, or (B, H, W, C) images when
-        ``extract_feature`` (reference ``gaze_estimators.py:210-223``)."""
+        ``extract_feature`` (reference ``gaze_estimators.py:210-223``).
+        ``compute_dtype`` reaches the ResNet backbone (bf16 runs the
+        full-res feature extraction on the MXU's fast path, f32 head)."""
         if extract_feature:
-            x = ResNet50.apply(params["resnet"], x)
+            x = ResNet50.apply(params["resnet"], x, compute_dtype=compute_dtype)
         out = _mlp_apply(params["head"], x, train, dropout_key)
         return _normalize(out)
 

@@ -58,14 +58,18 @@ def _synthetic_gaze(n, estimator, seed=0):
     return feats, gaze
 
 
-def make_steps(estimator: int, optimizer):
+def make_steps(estimator: int, optimizer, compute_dtype=jnp.float32):
     extract = estimator == 2  # estimator2 owns a trainable ResNet (:59)
 
     def loss_fn(params, x, y, key):
         if estimator == 1:
             o = GazeEstimator1.apply(params, x, train=True, dropout_key=key)
         else:
-            o = GazeEstimator2.apply(params, x, extract_feature=extract, train=True, dropout_key=key)
+            # bf16 backbone forward, f32 params/grads (mixed precision on
+            # the MXU); the cosine loss and head stay f32
+            o = GazeEstimator2.apply(params, x, extract_feature=extract,
+                                     train=True, dropout_key=key,
+                                     compute_dtype=compute_dtype)
         return cosine_embedding_loss(o, y), o
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -79,7 +83,8 @@ def make_steps(estimator: int, optimizer):
     def eval_step(params, x):
         if estimator == 1:
             return GazeEstimator1.apply(params, x)
-        return GazeEstimator2.apply(params, x, extract_feature=extract)
+        return GazeEstimator2.apply(params, x, extract_feature=extract,
+                                    compute_dtype=compute_dtype)
 
     return train_step, eval_step
 
@@ -139,6 +144,9 @@ def gaze_estimation(
             return load_data_openeds2020(
                 extract_feature=extract, estimator=cfg.estimator,
                 data_path=base + "/", postfix=postfix, efficientnet_params=eff,
+                compute_dtype=(
+                    jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+                ),
             )
         return _synthetic_gaze(96 if "train" in postfix else 32, cfg.estimator, seed=cfg.seed)
 
@@ -180,7 +188,10 @@ def gaze_estimation(
                 params["resnet"] = resnet_pre
         optimizer = optax.adam(lr)
         opt_state = optimizer.init(params)
-        train_step, eval_step = make_steps(cfg.estimator, optimizer)
+        train_step, eval_step = make_steps(
+            cfg.estimator, optimizer,
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        )
         timer = StepTimer()
 
         # resumable training (the reference is save-only, SURVEY §5.3-5.4)

@@ -64,10 +64,14 @@ def make_programs(glint, compute_dtype, mesh=None):
 
     @jax.jit
     def _pre_chunk(eff_params, g1_params, g2_params, c_imgs):
-        segs = EfficientNet.apply(eff_params, c_imgs)
+        # compute_dtype reaches the 65M-param B7 and the ResNet backbone:
+        # bf16 is +16% images/s at full res with argmax labels identical
+        # to f32 (tools/perf_probe13.py)
+        segs = EfficientNet.apply(eff_params, c_imgs, compute_dtype=compute_dtype)
         preds1 = GazeEstimator1.apply(g1_params, segs, extract_feature=True)
         preds2 = GazeEstimator2.apply(
-            g2_params, gray_to_rgb(c_imgs), extract_feature=True
+            g2_params, gray_to_rgb(c_imgs), extract_feature=True,
+            compute_dtype=compute_dtype,
         )
         irises, masks, bboxes = extract_iris_batch(c_imgs, segs, glint)
         return segs, preds1, preds2, irises, masks, bboxes
@@ -85,10 +89,11 @@ def make_programs(glint, compute_dtype, mesh=None):
     @jax.jit
     def _post_chunk(eff_params, g1_params, g2_params, frames, stylized, masks, bboxes):
         new_frames = composite_batch(frames, stylized, masks, bboxes)
-        segs = EfficientNet.apply(eff_params, new_frames)
+        segs = EfficientNet.apply(eff_params, new_frames, compute_dtype=compute_dtype)
         preds1 = GazeEstimator1.apply(g1_params, segs, extract_feature=True)
         preds2 = GazeEstimator2.apply(
-            g2_params, gray_to_rgb(new_frames), extract_feature=True
+            g2_params, gray_to_rgb(new_frames), extract_feature=True,
+            compute_dtype=compute_dtype,
         )
         return new_frames, preds1, preds2
 
@@ -302,9 +307,11 @@ def main():
     else:
         s_img = synthetic_eye_batch(1, seed=cfg.seed + 999)[0][0]
 
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
     @jax.jit
     def style_iris(img):
-        seg = EfficientNet.apply(eff_params, img[None])[0]
+        seg = EfficientNet.apply(eff_params, img[None], compute_dtype=compute_dtype)[0]
         m = (seg == 2)[..., None] & (img <= cfg.glint_threshold)
         masked = img * m
         bb = nonzero_bbox(masked[..., 0])
@@ -329,7 +336,6 @@ def main():
     if cfg.eval_test:
         postfixes.append("test/")
     results = {}
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     programs = make_programs(cfg.glint_threshold, compute_dtype, mesh=mesh)
 
     for postfix in postfixes:
