@@ -313,6 +313,13 @@ def _relu_max_pool_fwd(x, window):
 
 def _relu_max_pool_bwd(window, res, ct):
     x, y = res
+    from ..ops import pallas_pool
+
+    if pallas_pool.supported(x.shape, window):
+        # one lane-full pass over a bitcast (H, W, B*C) view — the XLA
+        # lowering of the expression below runs at 25% vreg occupancy in
+        # the bs4 batch-in-sublanes layout (see ops/pallas_pool.py)
+        return (pallas_pool.relu_pool_bwd(x, y, ct.astype(x.dtype)),)
     b, h, w, c = x.shape
     x6 = x.reshape(b, h // window, window, w // window, window, c)
     keep = (x6 > 0) & (x6 == y[:, :, None, :, None, :])

@@ -223,3 +223,28 @@ def test_relu_max_pool_matches_composed():
     v2, g2 = jax.value_and_grad(f_comp)(x)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_pallas_relu_pool_bwd_matches_jnp():
+    """The Pallas relu+pool backward (ops/pallas_pool.py, interpret mode
+    here) must reproduce the jnp 6-d windowed-select gradient exactly,
+    including relu gating and tie-to-all pool semantics."""
+    from iris_style_transfer_tpu.ops import pallas_pool
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 32)).astype(np.float32))
+    x = x.at[1, 2, 2, 3].set(x[1, 2, 3, 3])  # exact window tie
+    x = x.astype(jnp.bfloat16)
+    y = L.max_pool(jax.nn.relu(x), 2, 2)
+    ct = jnp.asarray(rng.standard_normal((4, 8, 8, 32)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    x6 = x.reshape(4, 8, 2, 8, 2, 32)
+    keep = (x6 > 0) & (x6 == y[:, :, None, :, None, :])
+    want = jnp.where(
+        keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+    ).reshape(4, 16, 16, 32)
+    got = pallas_pool.relu_pool_bwd(x, y, ct, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
+    )

@@ -1,0 +1,83 @@
+"""Round-3 probe: Pallas relu+pool backward kernel vs XLA lowering.
+
+perf_probe11 showed the relu+pool backward's 3.97 ms/closure cost is the
+25%-occupancy batch-in-sublanes layout, unreachable by pure-XLA
+reformulation; perf_probe12 showed batch packing makes it worse.  This
+probe measures the Pallas route (ops/pallas_pool.py): the backward as
+one kernel over the bitcast lane-full (H, W, B*C) view.
+
+Variants at the bench config (E=48, 512px bs4, bf16, unroll 8):
+  base      — composed relu;pool VJPs (current default)
+  pallas    — FUSE_RELU_POOL + Pallas backward at pools 1-3
+
+    python tools/perf_probe14.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "saved", "xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
+
+def main():
+    from iris_style_transfer_tpu.models import VGG19
+    from iris_style_transfer_tpu.models import layers as L
+    from iris_style_transfer_tpu.transfer.nst import make_nst_fn
+
+    E = 48
+    key = jax.random.PRNGKey(0)
+    params = VGG19.init(key)
+    shape = (4, 512, 512, 3)
+    cs = [jax.random.uniform(jax.random.fold_in(key, 10 + i), shape) for i in range(4)]
+    s = jax.random.uniform(jax.random.fold_in(key, 2), shape)
+    jax.block_until_ready((params, cs, s))
+
+    kw = dict(
+        epochs=E,
+        compute_dtype=jnp.bfloat16,
+        history_size=10,
+        scan_unroll=8,
+        lbfgs_dtype=jnp.bfloat16,
+    )
+
+    variants = [("base (xla composed)", False), ("pallas relu+pool bwd", True)]
+    fns, losses = {}, {}
+    for name, fuse in variants:
+        L.FUSE_RELU_POOL = fuse
+        fn = jax.jit(make_nst_fn(**kw))
+        res = fn(params, cs[0], s)
+        losses[name] = float(res.s_loss_hist[-1])
+        fns[name] = fn
+        print(f"compiled {name}: s_loss={losses[name]:.6f}", flush=True)
+
+    times = {name: [] for name, _ in variants}
+    for rep in range(3):
+        for name, _ in variants:
+            c = cs[1 + rep]
+            t0 = time.perf_counter()
+            out = fns[name](params, c, s)
+            _ = float(jnp.sum(out.x[:, ::64, ::64, :]))
+            times[name].append(time.perf_counter() - t0)
+
+    print()
+    for name, _ in variants:
+        t = min(times[name])
+        print(f"{name:<22} {E / t:7.2f} steps/s  "
+              f"({', '.join(f'{x:.3f}' for x in times[name])})  s_loss={losses[name]:.6f}")
+
+
+if __name__ == "__main__":
+    main()
