@@ -8,6 +8,7 @@ from .mesh import (
     replicated,
     shard_batch,
     shard_params,
+    spatial_sharding,
     mlp_tp_spec,
     pmean_metrics,
 )

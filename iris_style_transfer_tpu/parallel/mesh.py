@@ -98,6 +98,29 @@ def make_stager(mesh: Mesh | None):
     return stage
 
 
+def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard an image batch on BOTH the batch axis (over the data axes)
+    and the image height axis (over ``model``) — this domain's analog of
+    sequence/context parallelism (SURVEY.md §5.7: "scale" here is spatial).
+
+    Under this sharding XLA's SPMD partitioner runs every conv with halo
+    exchanges on the H boundary rows (3x3 kernels move one row per
+    neighbor over ICI), keeps reshape-based pooling shard-local, and
+    turns the Gram/BN-stats spatial reductions and L-BFGS inner products
+    into ``psum`` partials — so one NST problem scales past the batch
+    axis.  The practical win: with bs < chips (the bench's 512px bs4 on
+    a v5e-8, or the bs1 notebook demo) a ``(data, model)`` mesh with
+    model>1 puts otherwise-idle chips on slices of the same image.
+
+    Divisibility: each VGG tap's H extent must split over ``model`` —
+    for the relu4_1 pyramid that is ``(H/8) % model == 0`` (H=224 ->
+    model in {2,4,7,14,28}; H=512 -> any power of two up to 64).
+    """
+    batch_axes = [ax for ax in ("slice", "data") if ax in mesh.axis_names]
+    spec = tuple(batch_axes) if len(batch_axes) > 1 else batch_axes[0]
+    return NamedSharding(mesh, P(spec, "model", *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -30,7 +30,7 @@ from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
 from ..ops.image import crop_and_resize, gray_to_rgb
 from ..ops.metrics import classification_metrics, iou_per_class
-from ..parallel import make_mesh, make_stager, shard_params
+from ..parallel import make_mesh, make_stager, shard_params, spatial_sharding
 from ..pipelines import composite_batch
 from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
@@ -143,6 +143,11 @@ def iris_style_transfer_openeds2019(
 ) -> dict:
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     n_data = mesh.shape["data"] if mesh is not None else 1
+    n_model = mesh.shape.get("model", 1) if mesh is not None else 1
+    # spatial parallelism for the NST scan (parallel/mesh.py:
+    # spatial_sharding): with model>1 each 224^2 iris is H-sharded so
+    # chips beyond the batch axis work on slices of the same image
+    nst_in = spatial_sharding(mesh) if n_model > 1 else None
     if programs is None:
         programs = make_programs(compute_dtype, seg_chunk=8 * n_data)
     pre_fn, post_fn, post_seg = programs
@@ -197,8 +202,12 @@ def iris_style_transfer_openeds2019(
             _save_png(f"{save_dir}batch_{batch_id}_raw.png", np.asarray(c_imgs[0]))
             _save_png(f"{save_dir}batch_{batch_id}_sty.png", np.asarray(s_irises[0]))
 
+        s_rgb = gray_to_rgb(stage(s_irises))
+        if nst_in is not None:
+            irises = jax.device_put(irises, nst_in)
+            s_rgb = jax.device_put(s_rgb, nst_in)
         with timer:
-            result = nst_fn(vgg_params, irises, gray_to_rgb(stage(s_irises)))
+            result = nst_fn(vgg_params, irises, s_rgb)
             result.x.block_until_ready()
         c_loss = float(result.c_loss_hist[-1]); s_loss = float(result.s_loss_hist[-1])
         agg["c_loss"].append(c_loss); agg["s_loss"].append(s_loss)
@@ -287,12 +296,19 @@ def main():
     train_x, train_y, train_m, test_x, test_y, test_m, num_class = data
     print("number of classes:", num_class)
 
-    # mesh: pure data parallelism — every program in this pipeline is
-    # batch-parallel (SURVEY §2.3); params replicate, batches shard
-    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=1)
+    # mesh: batch-parallel over ``data`` (SURVEY §2.3); params replicate.
+    # --model_parallel > 1 additionally H-shards the NST scan's images
+    # over ``model`` (spatial parallelism — see parallel.spatial_sharding),
+    # putting chips beyond the batch axis on slices of the same image.
+    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=cfg.model_parallel)
     n_data = mesh.shape["data"]
     if cfg.bs % n_data:
         raise SystemExit(f"batch size {cfg.bs} not divisible by {n_data} data shards")
+    if cfg.model_parallel > 1 and (224 // 8) % cfg.model_parallel:
+        raise SystemExit(
+            f"model_parallel={cfg.model_parallel} must divide the relu4_1 tap "
+            f"height 224/8=28 (use 2, 4, 7, 14 or 28)"
+        )
 
     k_vgg, k_c1, k_c2 = jax.random.split(key, 3)
     vgg_params = load_pretrained("vgg19", args.vgg_weights, lambda: VGG19.init(k_vgg))

@@ -42,7 +42,7 @@ from ..models import (
 )
 from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox
 from ..ops.metrics import angular_distance
-from ..parallel import make_stager
+from ..parallel import make_stager, spatial_sharding
 from ..pipelines import composite_batch, extract_iris_batch
 from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
@@ -143,6 +143,10 @@ def iris_style_transfer_openeds2020(
         getattr(cfg, "scan_unroll", 8), getattr(cfg, "history_size", 10),
         getattr(cfg, "pallas_gram", "auto"),
     )
+    # spatial parallelism (parallel.spatial_sharding): model>1 H-shards
+    # the NST images so chips beyond the batch axis split each image
+    n_model = mesh.shape.get("model", 1) if mesh is not None else 1
+    nst_in = spatial_sharding(mesh) if n_model > 1 else None
     s_iris_rgb = gray_to_rgb(jnp.asarray(s_iris))
 
     agg = {"pre1": [], "pre2": [], "post1": [], "post2": [], "labels": [],
@@ -190,6 +194,9 @@ def iris_style_transfer_openeds2020(
             # axis before the NST scan (cheap device-to-device placement)
             irises = stage(irises)
             s_batch = jnp.broadcast_to(s_iris_rgb[None], irises.shape)
+            if nst_in is not None:
+                irises = jax.device_put(irises, nst_in)
+                s_batch = jax.device_put(s_batch, nst_in)
             result = nst_fn(vgg_params, irises, s_batch)
             result.x.block_until_ready()
         c_loss = float(result.c_loss_hist[-1]); s_loss = float(result.s_loss_hist[-1])
@@ -262,14 +269,20 @@ def main():
     cfg, args = parse_config(parser, defaults)
 
     key = seed_all(cfg.seed)
-    # mesh: pure data parallelism (every stage of this pipeline is
-    # batch-parallel, SURVEY §2.3); params replicate, batches shard
+    # mesh: batch-parallel over ``data`` (SURVEY §2.3); params replicate.
+    # --model_parallel > 1 additionally H-shards the NST images over
+    # ``model`` (spatial parallelism, parallel.spatial_sharding)
     from ..parallel import make_mesh, shard_params
 
-    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=1)
+    mesh = make_mesh(n_devices=cfg.n_devices or None, model_parallel=cfg.model_parallel)
     if cfg.bs % mesh.shape["data"]:
         raise SystemExit(
             f"batch size {cfg.bs} not divisible by {mesh.shape['data']} data shards"
+        )
+    if cfg.model_parallel > 1 and (224 // 8) % cfg.model_parallel:
+        raise SystemExit(
+            f"model_parallel={cfg.model_parallel} must divide the relu4_1 tap "
+            f"height 224/8=28 (use 2, 4, 7, 14 or 28)"
         )
 
     k_vgg, k_eff, k_g1, k_g2, k_res = jax.random.split(key, 5)

@@ -15,6 +15,7 @@ from iris_style_transfer_tpu.parallel import (
     replicated,
     shard_batch,
     shard_params,
+    spatial_sharding,
 )
 from iris_style_transfer_tpu.transfer.nst import make_nst_fn
 
@@ -55,6 +56,42 @@ def test_sharded_nst_matches_single_device():
     # and 5 L-BFGS steps amplify that chaotically (the round-3 MXU-dx
     # formulation surfaced this; its math is pinned by
     # test_conv2d_mxu_dx_matches_conv2d_grads)
+    np.testing.assert_allclose(
+        np.asarray(res_single.s_loss_hist),
+        np.asarray(res_sharded.s_loss_hist),
+        rtol=2e-2,
+    )
+    dx = np.abs(np.asarray(res_single.x) - np.asarray(res_sharded.x))
+    assert dx.mean() < 1e-3
+    assert dx.max() < 5e-2
+
+
+@pytest.mark.slow
+def test_spatial_sharded_nst_matches_single_device():
+    """Spatial parallelism (the SP analog, parallel.spatial_sharding):
+    the NST scan with images H-sharded over the ``model`` axis — XLA
+    partitions the convs with halo exchanges and psums the Gram/stats
+    reductions and L-BFGS inner products — must match unsharded
+    execution.  4x2 mesh: dp over batch, sp=2 over H."""
+    mesh = make_mesh(model_parallel=2)
+    params = VGG19.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+
+    fn = jax.jit(make_nst_fn(epochs=5))
+    res_single = fn(params, c, s)
+
+    sp = spatial_sharding(mesh)
+    res_sharded = fn(
+        shard_params(mesh, params),
+        jax.device_put(c, sp),
+        jax.device_put(s, sp),
+    )
+    assert res_sharded.x.sharding.is_equivalent_to(sp, res_sharded.x.ndim)
+    # same tolerance story as test_sharded_nst_matches_single_device:
+    # per-shard reduction blocking differs by ulps, 5 L-BFGS steps
+    # amplify isolated pixels at relu/clip ties
     np.testing.assert_allclose(
         np.asarray(res_single.s_loss_hist),
         np.asarray(res_sharded.s_loss_hist),
