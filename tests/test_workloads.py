@@ -135,9 +135,14 @@ def test_ist_openeds2019_main_and_sweep_resume(tmp_path, monkeypatch):
     assert wl.main() == {}
 
     # but a DIFFERENT configuration must not be suppressed by the old
-    # marker — done.json is config-keyed (utils.sweep_done)
+    # marker — done.json is config-keyed (utils.sweep_done); this rerun
+    # also drives spatial parallelism through the workload wiring (the
+    # (1,2) mesh H-shards every NST image over ``model`` —
+    # parallel.spatial_sharding; numerical equivalence is pinned by
+    # test_parallel.test_spatial_sharded_nst_matches_single_device)
     monkeypatch.setattr(sys, "argv", [
         "ist2019", "-bs", "8", "--nst_epochs", "2", "-seed", "7", "--n_devices", "2",
+        "--model_parallel", "2",
         "--data_dir", str(tmp_path / "nodata"), "--compute_dtype", "float32",
     ])
     results2 = wl.main()
