@@ -63,9 +63,76 @@ EPOCHS = 100
 T0 = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
+# Written on every successful on-chip capture; read by the unreachable-
+# backend fallback so a dead tunnel degrades to an honest, clearly-marked
+# stale line instead of a hang -> rc 124 -> lost round (the 2026-08-17
+# axon outage took the tunnel down mid-round with no recovery for hours).
+LAST_CAPTURE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_last.json")
+
 
 def remaining() -> float:
     return BUDGET_S - (time.monotonic() - T0)
+
+
+def backend_reachable() -> bool:
+    """True if the JAX backend can actually initialize devices.
+
+    The axon TPU tunnel fails by HANGING ``jax.devices()`` (the relay
+    accepts nothing at 127.0.0.1:8103), which a straight-line benchmark
+    cannot survive.  Two-stage probe: a ~2 s TCP connect to the tunnel
+    endpoint (cheap happy path), then an authoritative subprocess
+    ``jax.devices()`` with a hard timeout for the case where the port
+    moved or the relay listens but the pool is gone.
+    """
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if "axon" in plat:
+        import socket
+
+        host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
+        try:
+            with socket.create_connection((host, 8103), timeout=2.0):
+                return True
+        except OSError:
+            pass  # fall through to the authoritative check
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120")),
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def emit_stale_fallback() -> None:
+    """Primary line when no device is reachable: the last real on-chip
+    capture, explicitly marked as not measured now.  Never fabricates —
+    with no capture on record it reports value 0."""
+    record = None
+    try:
+        with open(LAST_CAPTURE_PATH) as f:
+            record = json.load(f)
+    except (OSError, ValueError):
+        pass
+    line = {
+        "metric": "nst_steps_per_sec_512px_bs4",
+        "value": record["value"] if record else 0.0,
+        "unit": "closure_evals/sec",
+        "vs_baseline": record["vs_baseline"] if record else 0.0,
+        "measured_now": False,
+        "note": (
+            "TPU backend unreachable at bench time (axon tunnel down); "
+            + (
+                f"value is the last on-chip capture from {record.get('date', '?')}"
+                if record
+                else "no prior capture on record"
+            )
+        ),
+    }
+    print(json.dumps(line), flush=True)
 
 
 def run(fn, params, c, s):
@@ -78,6 +145,10 @@ def run(fn, params, c, s):
 
 
 def main():
+    if not backend_reachable():
+        emit_stale_fallback()
+        return
+
     from iris_style_transfer_tpu.models import VGG19
     from iris_style_transfer_tpu.transfer.nst import make_nst_fn
 
@@ -129,17 +200,22 @@ def main():
             steps_per_sec = (EPOCHS // 4) / t_quarter / 4.0
 
     # ---- THE primary line: print + flush immediately, before anything else
-    print(
-        json.dumps(
-            {
-                "metric": "nst_steps_per_sec_512px_bs4",
-                "value": round(steps_per_sec, 2),
-                "unit": "closure_evals/sec",
-                "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 2),
-            }
-        ),
-        flush=True,
-    )
+    primary = {
+        "metric": "nst_steps_per_sec_512px_bs4",
+        "value": round(steps_per_sec, 2),
+        "unit": "closure_evals/sec",
+        "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 2),
+    }
+    print(json.dumps(primary), flush=True)
+
+    # persist the capture for the unreachable-backend fallback (TPU only —
+    # a CPU-run number must never masquerade as an on-chip capture)
+    if jax.default_backend() not in ("cpu",):
+        try:
+            with open(LAST_CAPTURE_PATH, "w") as f:
+                json.dump({**primary, "date": time.strftime("%Y-%m-%d")}, f, indent=1)
+        except OSError:
+            pass
 
     # ---- secondary configs, strictly budgeted, side artifact only ----
     extra = {
