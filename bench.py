@@ -97,9 +97,12 @@ def backend_reachable() -> bool:
     import subprocess
 
     try:
+        # 240 s: axon registration alone can take ~3 min on a busy host —
+        # a timeout shorter than that misreports a live-but-slow backend
+        # as dead.  The cost is only paid when the backend really is dead.
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120")),
+            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")),
             capture_output=True,
         )
         return r.returncode == 0
@@ -107,10 +110,10 @@ def backend_reachable() -> bool:
         return False
 
 
-def emit_stale_fallback() -> None:
-    """Primary line when no device is reachable: the last real on-chip
-    capture, explicitly marked as not measured now.  Never fabricates —
-    with no capture on record it reports value 0."""
+def emit_stale_fallback(reason: str = "TPU backend unreachable at bench time (axon tunnel down)") -> None:
+    """Primary line when no TPU is usable: the last real on-chip capture,
+    explicitly marked as not measured now.  Never fabricates — with no
+    capture on record it reports value 0."""
     record = None
     try:
         with open(LAST_CAPTURE_PATH) as f:
@@ -124,7 +127,8 @@ def emit_stale_fallback() -> None:
         "vs_baseline": record["vs_baseline"] if record else 0.0,
         "measured_now": False,
         "note": (
-            "TPU backend unreachable at bench time (axon tunnel down); "
+            reason
+            + "; "
             + (
                 f"value is the last on-chip capture from {record.get('date', '?')}"
                 if record
@@ -147,6 +151,17 @@ def run(fn, params, c, s):
 def main():
     if not backend_reachable():
         emit_stale_fallback()
+        return
+
+    # A backend that *resolves* but resolves to CPU is the other timeout
+    # trap: the 512px bs4 NST program takes hours on this 1-core host.
+    # The contract is a TPU number — degrade to the marked stale line
+    # unless a CPU run is explicitly requested (BENCH_ALLOW_CPU=1).
+    if jax.default_backend() == "cpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        emit_stale_fallback(
+            "backend resolved to CPU (512px bs4 NST would take hours here); "
+            "set BENCH_ALLOW_CPU=1 to force"
+        )
         return
 
     from iris_style_transfer_tpu.models import VGG19

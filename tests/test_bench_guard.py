@@ -64,6 +64,18 @@ def test_main_short_circuits_when_backend_unreachable(monkeypatch, tmp_path, cap
     assert line["measured_now"] is False
 
 
+def test_main_falls_back_when_backend_resolves_to_cpu(monkeypatch, tmp_path, capsys):
+    bench = _load_bench(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "backend_reachable", lambda: True)
+    monkeypatch.setattr(bench.jax, "default_backend", lambda: "cpu")
+    monkeypatch.delenv("BENCH_ALLOW_CPU", raising=False)
+    monkeypatch.setattr(bench, "LAST_CAPTURE_PATH", str(tmp_path / "missing.json"))
+    bench.main()  # must not start the hours-long CPU measurement
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["measured_now"] is False
+    assert "resolved to CPU" in line["note"]
+
+
 def test_backend_reachable_subprocess_timeout(monkeypatch):
     bench = _load_bench(monkeypatch, None)
     # no axon platform -> straight to the subprocess check; make the probe
