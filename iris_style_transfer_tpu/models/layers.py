@@ -192,12 +192,54 @@ _conv_small_cin.defvjp(_conv_small_cin_fwd, _conv_small_cin_bwd)
 # conv-transpose for small-C_in input gradients
 USE_MXU_DX = True
 
+# probe15 candidate: ALSO reassociate the small-C_in FORWARD onto the MXU.
+# XLA lowers a C_in=3 conv to a VPU loop fusion for the same reason it did
+# the input gradient (the natural matmul has K = 3 contraction lanes);
+# probe9 measured that forward fusion at 1.76 ms/closure at 512px bs4.
+# The reassociated form gathers the 9 shifted taps into a (B, H, W, 27)
+# buffer and runs ONE K=27 matmul; autodiff of this expression reproduces
+# the hand-written ``_conv_small_cin_bwd`` shape for dx automatically
+# (dx27 = ct @ Wf^T, then the concat-of-slices transpose = 9 shifted
+# adds), so the custom VJP is bypassed entirely when this is on.
+# Default OFF until measured on-chip (tools/perf_probe15.py).
+USE_MXU_FWD = False
+
+
+def _conv_small_cin_reassoc(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Small-C_in stride-1 symmetric-pad conv as tap-gather + one matmul.
+
+    y[b,i,j,o] = sum_{kh,kw,ci} xpad[b,i+kh,j+kw,ci] * w[kh,kw,ci,o] with
+    the (kh, kw, ci) axis flattened into a K = kh*kw*C_in contraction —
+    27 MXU lanes for a 3x3 RGB conv instead of 3.  Plain jax expression:
+    autodiff produces the MXU-friendly input gradient for free.
+    """
+    kh, kw, ci, co = w.shape
+    ph = (kh - 1) // 2
+    b, h, w_, _ = x.shape
+    xpad = jnp.pad(x, ((0, 0), (ph, ph), (ph, ph), (0, 0)))
+    taps = [
+        jax.lax.slice(xpad, (0, i, j, 0), (b, i + h, j + w_, ci))
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    xk = jnp.concatenate(taps, axis=-1)  # (B, H, W, kh*kw*ci)
+    wf = w.reshape(kh * kw * ci, co).astype(x.dtype)
+    y = jax.lax.dot_general(
+        xk, wf,
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(x.dtype)
+
 
 def conv2d_mxu_dx(x: jax.Array, p: Params, groups: int = 1) -> jax.Array:
     """Stride-1 symmetric-pad conv whose input gradient is the
     MXU-reassociated form (see ``_conv_small_cin_bwd``).  Numerically
     identical to :func:`conv2d`; use for first-layer convs (small
     per-group C_in) on gradient-hot paths like the NST closure."""
+    if USE_MXU_FWD and groups == 1:
+        out = _conv_small_cin_reassoc(x, p["w"])
+        return out + p["b"].astype(out.dtype)
     if not USE_MXU_DX:
         return conv2d(
             x, p, stride=1, padding=(p["w"].shape[0] - 1) // 2, groups=groups
@@ -334,6 +376,60 @@ relu_max_pool.defvjp(_relu_max_pool_fwd, _relu_max_pool_bwd)
 # cost is the 25%-occupancy batch-in-sublanes layout XLA picks at bs4,
 # not the fusion structure, so the simpler composed path stays canonical.
 FUSE_RELU_POOL = False
+
+
+# probe15 candidate: style-tap relus computed as a fused relu+stats op
+# whose TPU path is a lane-full Pallas kernel (ops/pallas_relu_stats.py).
+# Default OFF until measured on-chip; the op itself is always available.
+STATS_TAPS = False
+
+
+@jax.custom_vjp
+def relu_stats(x: jax.Array):
+    """(y, s1, s2) = (relu(x), sum_hw y, sum_hw y*y) with f32 sums per
+    (B, C) — the NST style tap and its BN-statistics reductions as ONE
+    op, so the backward injects the d(mean)/d(std) cotangents under the
+    relu mask in a single pass (see ``ops/pallas_relu_stats.py`` for why
+    XLA's own fusion of the same expression is layout-bound at bs4).
+
+    Semantics match ``relu`` + ``ops.losses.style_stats``'s sum/sumsq
+    pass exactly; reference anchor ``utils.py:324-355``.
+    """
+    y = jax.nn.relu(x)
+    yf = y.astype(jnp.float32)
+    return y, jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))
+
+
+def _relu_stats_fwd(x):
+    from ..ops import pallas_relu_stats
+
+    if pallas_relu_stats.supported(x.shape):
+        y, s1, s2 = pallas_relu_stats.relu_stats_fwd(x)
+    else:
+        y = jax.nn.relu(x)
+        yf = y.astype(jnp.float32)
+        s1 = jnp.sum(yf, axis=(1, 2))
+        s2 = jnp.sum(yf * yf, axis=(1, 2))
+    return (y, s1, s2), x
+
+
+def _relu_stats_bwd(x, cts):
+    ct_y, ct_s1, ct_s2 = cts
+    from ..ops import pallas_relu_stats
+
+    if pallas_relu_stats.supported(x.shape):
+        return (pallas_relu_stats.relu_stats_bwd(x, ct_y, ct_s1, ct_s2),)
+    xf = x.astype(jnp.float32)
+    g = (
+        ct_y.astype(jnp.float32)
+        + ct_s1.astype(jnp.float32)[:, None, None, :]
+        + 2.0 * xf * ct_s2.astype(jnp.float32)[:, None, None, :]
+    )
+    g = jnp.where(x > 0, g, 0.0)
+    return (g.astype(x.dtype),)
+
+
+relu_stats.defvjp(_relu_stats_fwd, _relu_stats_bwd)
 
 
 def max_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.image import imagenet_normalize
+from ..ops.losses import stats_from_sums
 from . import layers as L
 
 # conv structure of vgg19 `features` (without BN): channels per conv, with
@@ -138,11 +139,19 @@ class VGG19:
         truncate: bool = False,
         bn: bool = False,
         batch_groups: int = 1,
+        stats_taps: bool = False,
     ):
         """x: (B, H, W, 3) in [0,1].  Returns (final, content_feats,
         style_feats).  Taps stay in ``compute_dtype`` (losses and style
         statistics upcast to f32 internally) so bf16 runs don't
         materialize f32 copies of the large early-layer activations.
+
+        ``stats_taps=True`` returns each style entry as its BN-statistics
+        (mean, std) pair instead of the activation tensor, computed by
+        the fused relu+stats op (``layers.relu_stats`` — one pass, and on
+        TPU the lane-full Pallas kernel of ``ops/pallas_relu_stats.py``).
+        Only valid for style taps that are relu layers and not also
+        content taps; pair with ``ops.losses.style_loss_bn_stats``.
 
         ``truncate=True`` stops after the deepest requested tap (the NST
         loop never needs the final features — saves ~30% of the FLOPs;
@@ -159,6 +168,15 @@ class VGG19:
         dead end.  Taps come back packed the same way.
         """
         taps_wanted = set(content_layers) | set(style_layers)
+        stats_set = (
+            {
+                n
+                for n in style_layers
+                if n.startswith("relu") and n not in content_layers
+            }
+            if stats_taps and batch_groups == 1
+            else set()
+        )
         table = VGG19_BN_LAYERS if bn else VGG19_LAYERS
         stop_idx = max(table[n] for n in taps_wanted) if truncate else None
         gN = batch_groups
@@ -227,6 +245,10 @@ class VGG19:
                     and (stop_idx is None or idx + 1 <= stop_idx)
                 ):
                     fuse_next_pool = True  # relu applied inside the pool
+                elif rname in stats_set:
+                    n_hw = h.shape[1] * h.shape[2]
+                    h, s1, s2 = L.relu_stats(h)
+                    taps[rname] = stats_from_sums(s1, s2, n_hw)
                 else:
                     h = jax.nn.relu(h)
                     if rname in taps_wanted:

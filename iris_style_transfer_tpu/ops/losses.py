@@ -76,9 +76,34 @@ def style_stats(feat: jax.Array) -> tuple[jax.Array, jax.Array]:
     n = feat.shape[-3] * feat.shape[-2]
     s1 = jnp.sum(f, axis=(-3, -2))
     s2 = jnp.sum(f * f, axis=(-3, -2))
+    return stats_from_sums(s1, s2, n)
+
+
+def stats_from_sums(s1: jax.Array, s2: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """(mean, Bessel std) from f32 (sum, sum-of-squares) over n elements —
+    the conversion half of :func:`style_stats`, shared with the fused
+    relu+stats tap op (``models/layers.py:relu_stats``)."""
     mean = s1 / n
     var = jnp.maximum(s2 - n * mean * mean, 0.0) / (n - 1)
     return mean, jnp.sqrt(var)
+
+
+def style_loss_bn_stats(
+    pred_stats: Sequence[tuple[jax.Array, jax.Array]],
+    target_stats: Sequence[tuple[jax.Array, jax.Array]],
+    weights: Sequence[float] | None = None,
+) -> jax.Array:
+    """:func:`style_loss_bn` on PRECOMPUTED per-tap (mean, std) pairs —
+    used when the VGG forward already produced the statistics via the
+    fused relu+stats tap (``stats_taps``); same numerical convention as
+    the reference (``utils.py:341-355``)."""
+    ws = _weights(weights, len(target_stats))
+    loss = jnp.float32(0.0)
+    for (p_mean, p_std), (t_mean, t_std), w in zip(pred_stats, target_stats, ws):
+        c = p_mean.shape[-1]
+        term = jnp.sum((p_mean - t_mean) ** 2 + (p_std - t_std) ** 2)
+        loss = loss + term * (w / c)
+    return loss
 
 
 def style_loss_bn(

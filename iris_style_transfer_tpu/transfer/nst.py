@@ -27,7 +27,13 @@ import jax.numpy as jnp
 
 from ..models.vgg import VGG19
 from ..ops.gram import gram_matrix
-from ..ops.losses import content_loss_l2, style_loss_bn, style_loss_gram, style_stats
+from ..ops.losses import (
+    content_loss_l2,
+    style_loss_bn,
+    style_loss_bn_stats,
+    style_loss_gram,
+    style_stats,
+)
 from .lbfgs import lbfgs_init, lbfgs_step
 
 
@@ -51,6 +57,7 @@ def make_nst_fn(
     lbfgs_method: str = "compact",
     lbfgs_dtype=jnp.float32,
     pallas_gram: bool | str = "auto",
+    stats_taps: bool | None = None,
     lbfgs_flat: bool = False,
     pack_batch: bool = False,
     scan_unroll: int = 1,
@@ -75,12 +82,25 @@ def make_nst_fn(
     # built for (tools/perf_probe12.py).  Kept default-off as the
     # documented dead end.
     pack_batch = pack_batch and bn_loss
+    # stats_taps: the style taps come back from the VGG forward as
+    # (mean, std) pairs computed by the fused relu+stats op instead of
+    # the full activation tensors (probe15 candidate; None defers to the
+    # layers.STATS_TAPS module flag).  BN-loss only — the Gram path needs
+    # the tensors.
+    from ..models import layers as _L
+
+    use_stats = (
+        (_L.STATS_TAPS if stats_taps is None else stats_taps)
+        and bn_loss
+        and not pack_batch
+    )
     vgg_apply = functools.partial(
         VGG19.apply,
         content_layers=tuple(content_layers),
         style_layers=tuple(style_layers),
         compute_dtype=compute_dtype,
         truncate=True,
+        stats_taps=use_stats,
     )
 
     # Gram implementation selection: "auto" uses the Pallas blockwise kernel
@@ -123,7 +143,10 @@ def make_nst_fn(
         _, c_feats, _ = va(vgg_params, c_img)
         _, _, s_feats = va(vgg_params, s_img)
         c_targets = [jax.lax.stop_gradient(f) for f in c_feats]
-        if bn_loss:
+        if use_stats:
+            # taps already arrive as (mean, std) pairs
+            s_targets = [tuple(map(jax.lax.stop_gradient, st)) for st in s_feats]
+        elif bn_loss:
             s_targets = [
                 tuple(map(jax.lax.stop_gradient, style_stats(f))) for f in s_feats
             ]
@@ -133,7 +156,9 @@ def make_nst_fn(
         def loss_fn(x):
             _, x_c, x_s = va(vgg_params, x)
             c_loss = content_loss_l2(x_c, c_targets)
-            if bn_loss:
+            if use_stats:
+                s_loss = style_loss_bn_stats(x_s, s_targets)
+            elif bn_loss:
                 s_loss = style_loss_bn(x_s, s_targets)
                 if packed:
                     # style_loss_bn normalizes each tap's term by its

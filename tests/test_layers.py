@@ -1,5 +1,7 @@
 """NN primitive parity vs torch (conv/bn/pool/upsample/adaptive pool)."""
 
+import functools
+
 import numpy as np
 import pytest
 import torch
@@ -247,4 +249,99 @@ def test_pallas_relu_pool_bwd_matches_jnp():
     got = pallas_pool.relu_pool_bwd(x, y, ct, interpret=True)
     np.testing.assert_array_equal(
         np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
+    )
+
+
+def test_conv_reassoc_fwd_matches_conv2d():
+    """probe15 candidate A: the tap-gather + one-matmul small-C_in conv
+    (layers._conv_small_cin_reassoc) must equal the plain conv in value
+    and, through plain autodiff, in both gradients."""
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 3)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(L._conv_small_cin_reassoc(x, w) + b)
+        want = np.asarray(L.conv2d(x, {"w": w, "b": b}, stride=1, padding=1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+        def f_ref(x, w):
+            return jnp.sum(jnp.sin(L.conv2d(x, {"w": w, "b": b}, stride=1, padding=1)))
+
+        def f_new(x, w):
+            return jnp.sum(jnp.sin(L._conv_small_cin_reassoc(x, w) + b))
+
+        dx1, dw1 = jax.grad(f_ref, argnums=(0, 1))(x, w)
+        dx2, dw2 = jax.grad(f_new, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw2), np.asarray(dw1), rtol=1e-4, atol=1e-5)
+
+
+def _relu_stats_composed(x):
+    y = jax.nn.relu(x)
+    yf = y.astype(jnp.float32)
+    return y, jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))
+
+
+def test_relu_stats_matches_composed_value_and_grad():
+    """probe15 candidate B: the fused relu+stats tap op must equal the
+    composed relu + sum/sumsq expression in all three outputs and in the
+    gradient of a loss that touches all three."""
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+
+    y1, a1, b1 = L.relu_stats(x)
+    y2, a2, b2 = _relu_stats_composed(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)
+
+    def loss(fn, x):
+        y, s1, s2 = fn(x)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(s1 * 0.3) + jnp.sum(jnp.sqrt(s2 + 1.0))
+
+    g1 = jax.grad(functools.partial(loss, L.relu_stats))(x)
+    g2 = jax.grad(functools.partial(loss, _relu_stats_composed))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_relu_stats_matches_composed():
+    """The Pallas lane-full relu+stats kernels (ops/pallas_relu_stats.py,
+    interpret mode here) must reproduce the composed expression: forward
+    (y, s1, s2) and the backward dx under all three cotangents."""
+    from iris_style_transfer_tpu.ops import pallas_relu_stats as prs
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 32)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    y, s1, s2 = prs.relu_stats_fwd(x, interpret=True)
+    yw, s1w, s2w = _relu_stats_composed(x)
+    np.testing.assert_array_equal(
+        np.asarray(y.astype(jnp.float32)), np.asarray(yw.astype(jnp.float32))
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1w), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2w), rtol=1e-3)
+
+    ct_y = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ct_s1 = jnp.asarray(rng.standard_normal(s1.shape).astype(np.float32))
+    ct_s2 = jnp.asarray(rng.standard_normal(s2.shape).astype(np.float32))
+    got = prs.relu_stats_bwd(x, ct_y, ct_s1, ct_s2, interpret=True)
+
+    xf = x.astype(jnp.float32)
+    want = (
+        ct_y.astype(jnp.float32)
+        + ct_s1[:, None, None, :]
+        + 2.0 * xf * ct_s2[:, None, None, :]
+    )
+    want = jnp.where(x > 0, want, 0.0).astype(x.dtype)
+    np.testing.assert_allclose(
+        np.asarray(got.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)),
+        rtol=1e-2,
+        atol=1e-2,
     )

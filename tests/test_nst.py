@@ -108,3 +108,24 @@ def test_nst_pack_batch_matches_unpacked(vgg_params, imgs):
     # (22/49k observed); the field as a whole must agree
     assert np.mean(np.abs(np.asarray(r1.x) - np.asarray(r0.x))) < 1e-4
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=2e-2)
+
+
+def test_nst_stats_taps_matches_baseline(vgg_params, imgs):
+    """probe15 candidate B wiring: stats_taps=True (style taps returned
+    as fused-relu+stats (mean, std) pairs) must reproduce the baseline
+    BN-loss trajectory — same reductions, same Bessel convention, just
+    computed inside the VGG forward."""
+    c, s = imgs
+    from iris_style_transfer_tpu.transfer.nst import make_nst_fn
+
+    fn0 = jax.jit(make_nst_fn(epochs=6, stats_taps=False))
+    fn1 = jax.jit(make_nst_fn(epochs=6, stats_taps=True))
+    r0 = fn0(vgg_params, c, s)
+    r1 = fn1(vgg_params, c, s)
+    np.testing.assert_allclose(
+        np.asarray(r1.s_loss_hist), np.asarray(r0.s_loss_hist), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.c_loss_hist), np.asarray(r0.c_loss_hist), rtol=1e-4, atol=1e-10
+    )
+    assert np.mean(np.abs(np.asarray(r1.x) - np.asarray(r0.x))) < 1e-5
