@@ -46,6 +46,7 @@ class WorkloadConfig:
     scan_unroll: int = 8
     history_size: int = 10
     pallas_gram: str = "auto"  # "auto" | "on" | "off"
+    stats_taps: str = "auto"  # "auto" (layers.STATS_TAPS flag) | "on" | "off"
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -84,6 +85,10 @@ def add_common_args(parser: argparse.ArgumentParser, defaults: WorkloadConfig) -
     p.add_argument("--history_size", type=int, default=defaults.history_size)
     p.add_argument("--pallas_gram", type=str, choices=("auto", "on", "off"),
                    default=defaults.pallas_gram)
+    p.add_argument("--stats_taps", type=str, choices=("auto", "on", "off"),
+                   default=defaults.stats_taps,
+                   help="style taps as fused relu+stats (mean, std) pairs "
+                        "(BN loss only; 'auto' defers to layers.STATS_TAPS)")
 
 
 def parse_config(parser: argparse.ArgumentParser, defaults: WorkloadConfig):

@@ -89,9 +89,10 @@ def make_programs(compute_dtype, seg_chunk: int = 8):
 @functools.lru_cache(maxsize=16)
 def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str,
                  scan_unroll: int = 8, history_size: int = 10,
-                 pallas_gram: str = "auto"):
+                 pallas_gram: str = "auto", stats_taps: str = "auto"):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
+    st = {"auto": None, "on": True, "off": False}[stats_taps]
     return jax.jit(
         make_nst_fn(
             epochs=nst_epochs,
@@ -101,6 +102,7 @@ def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: st
             scan_unroll=scan_unroll,
             history_size=history_size,
             pallas_gram=pg,
+            stats_taps=st,
             lbfgs_dtype=jnp.bfloat16,
         )
     )
@@ -154,6 +156,7 @@ def iris_style_transfer_openeds2019(
     nst_fn = _nst_program(
         nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype,
         cfg.scan_unroll, cfg.history_size, cfg.pallas_gram,
+        getattr(cfg, "stats_taps", "auto"),
     )
     stage = make_stager(mesh)
 

@@ -114,14 +114,15 @@ def make_programs(glint, compute_dtype, mesh=None):
 @functools.lru_cache(maxsize=16)
 def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str,
                  scan_unroll: int = 8, history_size: int = 10,
-                 pallas_gram: str = "auto"):
+                 pallas_gram: str = "auto", stats_taps: str = "auto"):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
+    st = {"auto": None, "on": True, "off": False}[stats_taps]
     return jax.jit(
         make_nst_fn(
             epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
             compute_dtype=compute_dtype, scan_unroll=scan_unroll,
-            history_size=history_size, pallas_gram=pg,
+            history_size=history_size, pallas_gram=pg, stats_taps=st,
             lbfgs_dtype=jnp.bfloat16,
         )
     )
@@ -141,7 +142,7 @@ def iris_style_transfer_openeds2020(
     nst_fn = _nst_program(
         nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype,
         getattr(cfg, "scan_unroll", 8), getattr(cfg, "history_size", 10),
-        getattr(cfg, "pallas_gram", "auto"),
+        getattr(cfg, "pallas_gram", "auto"), getattr(cfg, "stats_taps", "auto"),
     )
     # spatial parallelism (parallel.spatial_sharding): model>1 H-shards
     # the NST images so chips beyond the batch axis split each image

@@ -103,6 +103,38 @@ def test_spatial_sharded_nst_matches_single_device():
 
 
 @pytest.mark.slow
+def test_spatial_sharded_nst_stats_taps_matches_single_device():
+    """stats_taps=True (style taps as fused relu+stats (mean, std) pairs)
+    under spatial sharding: the per-(B, C) sum/sumsq reductions now live
+    INSIDE the VGG forward's custom-VJP op, so XLA must psum them across
+    the H shards and route the d(mean)/d(std) cotangents back through the
+    shard-local relu masks — must match unsharded execution."""
+    mesh = make_mesh(model_parallel=2)
+    params = VGG19.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    c = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    s = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+
+    fn = jax.jit(make_nst_fn(epochs=5, stats_taps=True))
+    res_single = fn(params, c, s)
+
+    sp = spatial_sharding(mesh)
+    res_sharded = fn(
+        shard_params(mesh, params),
+        jax.device_put(c, sp),
+        jax.device_put(s, sp),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_single.s_loss_hist),
+        np.asarray(res_sharded.s_loss_hist),
+        rtol=2e-2,
+    )
+    dx = np.abs(np.asarray(res_single.x) - np.asarray(res_sharded.x))
+    assert dx.mean() < 1e-3
+    assert dx.max() < 5e-2
+
+
+@pytest.mark.slow
 def test_multislice_mesh_nst_matches_single_device():
     """Multi-slice (slice, data, model) mesh: the batch shards over both
     DP axes (hierarchical ICI-then-DCN reductions on real pods); results
