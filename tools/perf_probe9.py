@@ -111,6 +111,10 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/nst_trace")
     ap.add_argument("--epochs", type=int, default=48)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--size", type=int, default=512,
+                    help="square image size; --batch 64 --size 224 traces "
+                         "the production IST config instead of the bench one")
     args = ap.parse_args()
 
     import jax
@@ -121,7 +125,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = VGG19.init(key)
-    shape = (4, 512, 512, 3)
+    shape = (args.batch, args.size, args.size, 3)
     c = jax.random.uniform(jax.random.fold_in(key, 1), shape)
     c2 = jax.random.uniform(jax.random.fold_in(key, 2), shape)
     s = jax.random.uniform(jax.random.fold_in(key, 3), shape)
