@@ -28,6 +28,47 @@ def _load_tool():
     return mod
 
 
+def test_replicate_rotation_tiny(tmp_path, monkeypatch):
+    """Smoke for the rotation/perspective robustness eval tool
+    (``tools/replicate_rotation.py``): tiny twin, fresh heads saved as a
+    checkpoint, one small angle grid — must produce accuracies in [0, 1]
+    and retention keys for both feature types."""
+    import sys
+
+    import jax
+
+    from iris_style_transfer_tpu.models import Classifier1, Classifier2
+    from iris_style_transfer_tpu.runtime.checkpoint import save_checkpoint
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "replicate_rotation.py"
+    )
+    spec = importlib.util.spec_from_file_location("replicate_rotation", path)
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    key = jax.random.PRNGKey(0)
+    heads = {
+        "c1": Classifier1.init(key, 4),
+        "c2": Classifier2.init(jax.random.fold_in(key, 1), num_class=4),
+    }
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), 1, {"params": heads})
+
+    monkeypatch.setattr(sys, "argv", [
+        "replicate_rotation", "--ckpt", str(ckpt), "--users", "4",
+        "--n_per_user", "6", "--angles", "0,45", "--pers", "0,0.3",
+        "--crop_size", "64", "--chunk", "4",
+    ])
+    results = tool.main()
+    for k in ("rot/0/c1", "rot/45/c2", "pers/0.3/c1",
+              "rot/45/retention_c1", "rot/45/retention_c2"):
+        assert k in results, k
+        assert np.isfinite(results[k])
+    assert 0.0 <= results["rot/45/c1"] <= 1.0
+    assert 0.0 <= results["rot/45/c2"] <= 1.0
+
+
 def test_train_ritnet_tiny():
     from iris_style_transfer_tpu.data.synthetic import synthetic_eye_batch
 
