@@ -32,6 +32,10 @@ import jax.numpy as jnp
 from ..ops.image import imagenet_normalize, pad_height
 from . import layers as L
 
+# probe17 candidate: stride-1 MBConv depthwise+BN+SiLU as one Pallas pass
+# (ops/pallas_depthwise.py).  Default OFF until measured on-chip.
+PALLAS_DW = False
+
 # B0 base: (expand, kernel, stride, cin, cout, repeats)
 _BASE_BLOCKS = [
     (1, 3, 1, 32, 16, 1),
@@ -121,16 +125,27 @@ def _mbconv(p, x, expand, k, stride, cin, cout):
         x = L.conv2d(x, p["expand_conv"], padding=0)
         x = jax.nn.silu(L.batchnorm(x, p["bn0"], eps=_BN_EPS))
     # depthwise, TF-same padding
-    pad = _same_pad(x.shape[1], x.shape[2], k, stride)
-    x = jax.lax.conv_general_dilated(
-        x,
-        p["dw_conv"]["w"].astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=mid,
-    )
-    x = jax.nn.silu(L.batchnorm(x, p["bn1"], eps=_BN_EPS))
+    from ..ops import pallas_depthwise
+
+    if PALLAS_DW and pallas_depthwise.supported(x.shape, k, stride):
+        # one-pass fused dwconv+BN+SiLU over lane-major channels (the
+        # MBConv hot path is bandwidth-bound — see ops/pallas_depthwise.py)
+        bn = p["bn1"]
+        inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + _BN_EPS)
+        a = bn["scale"].astype(jnp.float32) * inv
+        b = bn["bias"].astype(jnp.float32) - bn["mean"].astype(jnp.float32) * a
+        x = pallas_depthwise.dw_conv_bn_silu(x, p["dw_conv"]["w"], a, b, k)
+    else:
+        pad = _same_pad(x.shape[1], x.shape[2], k, stride)
+        x = jax.lax.conv_general_dilated(
+            x,
+            p["dw_conv"]["w"].astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=mid,
+        )
+        x = jax.nn.silu(L.batchnorm(x, p["bn1"], eps=_BN_EPS))
     # squeeze-excite
     sq = jnp.mean(x, axis=(1, 2), keepdims=True)
     sq = jax.nn.silu(L.conv2d(sq, p["se_reduce"], padding=0))

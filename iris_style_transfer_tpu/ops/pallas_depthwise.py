@@ -1,0 +1,152 @@
+"""Pallas kernel: fused depthwise-conv + BN + SiLU for the B7 encoder.
+
+Motivation (tools/perf_probe13.py): the full-res EfficientNet-B7
+segmentation path gained only +16% from bfloat16 — nothing like the
+MXU's f32/bf16 ratio — because MBConv blocks are bound by their
+DEPTHWISE convs and the elementwise BN/SiLU around them
+(``models/efficientnet.py:_mbconv``), which are bandwidth ops: a k x k
+depthwise conv does 2k^2 FLOPs per element read, far below the MXU
+ratio, so its cost is HBM traffic.  XLA executes the depthwise conv,
+the BN multiply-add and the SiLU as separate reads/writes of the
+(B, H, W, mid) activation (mid up to 3,840 channels).
+
+This kernel does the whole ``silu(bn(dwconv(x)))`` in ONE pass: read an
+H strip (plus its k-1 halo rows) HBM->VMEM once, apply all k^2 taps
+in-register with per-lane weights (channels ride the 128-wide lane
+dimension — depthwise never mixes channels, so the lanes never
+communicate), fold the eval-mode BN into a per-lane multiply-add, and
+write the activated strip once.  Traffic: read x once (+ halo rows),
+write y once — the roofline for this op.
+
+Halo handling: overlapping input windows can't be expressed as
+``BlockSpec`` blocks, so the input stays in HBM (``memory_space=ANY``)
+and each grid step issues a manual ``make_async_copy`` of its
+(T + k - 1)-row window into VMEM scratch; the H padding is done once in
+XLA (cheap relative to the fusion win at B7's channel counts) so window
+indexing never clamps.  Column halos are in-register shifts.
+
+Forward-only by design: every pipeline runs B7 frozen (the reference
+loads and freezes the smp checkpoint, ``models/efficientnet/
+efficientnet.py:27-29``), so no VJP is required.
+
+Flag-gated OFF (``models/efficientnet.py:PALLAS_DW``) until measured
+on-chip — tools/perf_probe17.py is the harness.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_STRIP_BYTES = 4 * 1024 * 1024  # target size for the x strip
+
+
+def _kernel(xp_hbm, w_ref, a_ref, b_ref, o_ref, xs, sem, *, k: int, t: int):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+    p = (k - 1) // 2
+    cb = xs.shape[-1]
+
+    copy = pltpu.make_async_copy(
+        xp_hbm.at[bi, pl.ds(hi * t, t + 2 * p), :, pl.ds(ci * cb, cb)],
+        xs,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    x = xs[:]  # (T + 2p, W, Cb)
+    wdim = x.shape[1]
+    xpad = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+    acc = jnp.zeros((t, wdim, cb), jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            tap = jax.lax.slice(
+                xpad, (dy, dx, 0), (dy + t, dx + wdim, cb)
+            ).astype(jnp.float32)
+            acc = acc + tap * w_ref[dy, dx][None, None, :].astype(jnp.float32)
+    y = acc * a_ref[0][None, None, :] + b_ref[0][None, None, :]
+    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)  # SiLU
+
+
+def _pick_blocks(h: int, w: int, c: int, itemsize: int) -> tuple[int, int] | None:
+    """(T rows, Cb channels) such that the strip fits the VMEM target;
+    None if no supported tiling exists."""
+    for t in (8, 4, 2, 1):
+        if h % t:
+            continue
+        for div in (1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 16, 30):
+            if c % div:
+                continue
+            cb = c // div
+            if cb % 128 and cb != c:
+                continue  # don't split into lane-ragged blocks
+            if (t + 6) * w * cb * itemsize <= _VMEM_STRIP_BYTES:
+                return t, cb
+    return None
+
+
+def supported(x_shape: tuple[int, ...], k: int, stride: int) -> bool:
+    """Stride-1 odd-k depthwise on TPU with a workable (T, Cb) tiling."""
+    if stride != 1 or k % 2 == 0 or len(x_shape) != 4:
+        return False
+    b, h, w, c = x_shape
+    if jax.default_backend() != "tpu":
+        return False
+    return _pick_blocks(h, w, c, 2) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def dw_conv_bn_silu(
+    x: jax.Array,
+    w: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    k: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """silu(dwconv(x, w) * a + b), stride 1, symmetric (k-1)/2 padding.
+
+    x: (B, H, W, C); w: (k, k, 1, C) HWIO depthwise; a, b: (C,) f32 —
+    the eval-mode BN folded to a per-channel affine
+    (a = scale/sqrt(var + eps), b = bias - mean * a).
+    """
+    bsz, h, wdim, c = x.shape
+    p = (k - 1) // 2
+    blocks = _pick_blocks(h, wdim, c, x.dtype.itemsize)
+    assert blocks is not None, "caller must gate on supported()"
+    t, cb = blocks
+
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
+    wk = w.reshape(k, k, c).astype(x.dtype)
+    a2 = a.reshape(1, c).astype(jnp.float32)
+    b2 = b.reshape(1, c).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, k=k, t=t),
+        grid=(bsz, h // t, c // cb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
+            pl.BlockSpec((k, k, cb), lambda bi, hi, ci: (0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda bi, hi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda bi, hi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, wdim, cb), lambda bi, hi, ci: (bi, hi, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wdim, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t + 2 * p, wdim, cb), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wk, a2, b2)

@@ -278,6 +278,41 @@ def test_conv_reassoc_fwd_matches_conv2d():
     np.testing.assert_allclose(np.asarray(dw2), np.asarray(dw1), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("k,c", [(3, 256), (5, 64)])
+def test_pallas_depthwise_matches_xla(k, c):
+    """The fused depthwise+BN+SiLU Pallas kernel (ops/pallas_depthwise.py,
+    interpret mode here — manual halo DMA included) must match the XLA
+    composition: grouped conv, eval batchnorm affine, SiLU."""
+    from iris_style_transfer_tpu.ops import pallas_depthwise as pdw
+
+    rng = np.random.default_rng(18)
+    x = jnp.asarray(rng.standard_normal((2, 16, 20, c)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    w = jnp.asarray(
+        (rng.standard_normal((k, k, 1, c)) * 0.2).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    a = jnp.asarray(rng.uniform(0.5, 2.0, c).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    p = (k - 1) // 2
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    ).astype(jnp.float32)
+    want = want * a + b
+    want = (want * jax.nn.sigmoid(want)).astype(x.dtype)
+
+    got = pdw.dw_conv_bn_silu(x, w, a, b, k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)),
+        rtol=0.05,
+        atol=0.05,
+    )
+
+
 def _relu_stats_composed(x):
     y = jax.nn.relu(x)
     yf = y.astype(jnp.float32)

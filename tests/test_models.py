@@ -109,3 +109,35 @@ def test_gaze_estimator1_complicated():
     out = GazeEstimator1Complicated.apply(g, jnp.asarray(segs), lm)
     assert out.shape == (2, 3)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-5)
+
+
+def test_mbconv_pallas_dw_matches_xla(monkeypatch):
+    """The PALLAS_DW wiring in _mbconv (flag-gated off by default) must be
+    numerically equivalent to the XLA composition; interpret mode + a
+    shape-only supported() gate stand in for the TPU backend here."""
+    import functools
+
+    from iris_style_transfer_tpu.models import efficientnet as eff
+    from iris_style_transfer_tpu.ops import pallas_depthwise as pdw
+
+    key = jax.random.PRNGKey(9)
+    expand, k, cin, cout = 6, 3, 32, 32
+    p = eff._init_mbconv(key, expand, k, cin, cout, jnp.float32)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (2, 16, 20, cin))
+
+    want = eff._mbconv(p, x, expand, k, 1, cin, cout)
+
+    monkeypatch.setattr(
+        pdw, "supported",
+        lambda shape, kk, stride: stride == 1 and kk % 2 == 1 and len(shape) == 4
+        and pdw._pick_blocks(shape[1], shape[2], shape[3], 4) is not None,
+    )
+    monkeypatch.setattr(
+        pdw, "dw_conv_bn_silu",
+        functools.partial(pdw.dw_conv_bn_silu.__wrapped__, interpret=True),
+    )
+    monkeypatch.setattr(eff, "PALLAS_DW", True)
+    got = eff._mbconv(p, x, expand, k, 1, cin, cout)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
+    )

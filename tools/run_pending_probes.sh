@@ -29,6 +29,7 @@ run() {
 run probe14 python tools/perf_probe14.py            # Pallas relu+pool bwd
 run probe15 python tools/perf_probe15.py            # mxu-fwd + stats-taps @ bench config
 run probe16 python tools/perf_probe16.py            # same candidates @ production bs64 config
+run probe17 python tools/perf_probe17.py            # Pallas depthwise+BN+SiLU in B7
 run bench   python bench.py                         # recapture (flags still at defaults)
 
 echo
