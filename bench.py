@@ -38,14 +38,9 @@ import jax.numpy as jnp
 # on a 1-core host — warm runs (e.g. the driver's, after this repo's own
 # tooling ran) skip straight to measurement.  Best-effort: unsupported
 # backends just compile as usual.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "saved", "xla_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-except Exception:
-    pass
+from iris_style_transfer_tpu.runtime.cache import enable_compile_cache
+
+enable_compile_cache()
 
 # Estimated A100 reference throughput for (4, 3, 512, 512) LBFGS NST with
 # per-closure host syncs.  Round 3 replaced round 1's 13.0 guess with the
@@ -79,21 +74,14 @@ def backend_reachable() -> bool:
 
     The axon TPU tunnel fails by HANGING ``jax.devices()`` (the relay
     accepts nothing at 127.0.0.1:8103), which a straight-line benchmark
-    cannot survive.  Two-stage probe: a ~2 s TCP connect to the tunnel
-    endpoint (cheap happy path), then an authoritative subprocess
-    ``jax.devices()`` with a hard timeout for the case where the port
-    moved or the relay listens but the pool is gone.
+    cannot survive.  The ONLY sound probe is the authoritative one: a
+    subprocess ``jax.devices()`` under a hard timeout.  A TCP connect to
+    the tunnel port is NOT usable as a happy-path shortcut — a relay can
+    accept connections while the pool behind it is gone (exactly the
+    failure the guard exists for), and a moved port would look dead.
+    The subprocess costs one extra backend registration on the happy
+    path; a lost primary line costs the round.
     """
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if "axon" in plat:
-        import socket
-
-        host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
-        try:
-            with socket.create_connection((host, 8103), timeout=2.0):
-                return True
-        except OSError:
-            pass  # fall through to the authoritative check
     import subprocess
 
     try:
@@ -120,11 +108,13 @@ def emit_stale_fallback(reason: str = "TPU backend unreachable at bench time (ax
             record = json.load(f)
     except (OSError, ValueError):
         pass
+    if not isinstance(record, dict):
+        record = None
     line = {
         "metric": "nst_steps_per_sec_512px_bs4",
-        "value": record["value"] if record else 0.0,
+        "value": record.get("value", 0.0) if record else 0.0,
         "unit": "closure_evals/sec",
-        "vs_baseline": record["vs_baseline"] if record else 0.0,
+        "vs_baseline": record.get("vs_baseline", 0.0) if record else 0.0,
         "measured_now": False,
         "note": (
             reason

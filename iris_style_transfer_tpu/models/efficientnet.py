@@ -127,7 +127,9 @@ def _mbconv(p, x, expand, k, stride, cin, cout):
     # depthwise, TF-same padding
     from ..ops import pallas_depthwise
 
-    if PALLAS_DW and pallas_depthwise.supported(x.shape, k, stride):
+    if PALLAS_DW and pallas_depthwise.supported(
+        x.shape, k, stride, jnp.dtype(x.dtype).itemsize
+    ):
         # one-pass fused dwconv+BN+SiLU over lane-major channels (the
         # MBConv hot path is bandwidth-bound — see ops/pallas_depthwise.py)
         bn = p["bn1"]

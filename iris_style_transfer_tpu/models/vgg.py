@@ -168,15 +168,23 @@ class VGG19:
         dead end.  Taps come back packed the same way.
         """
         taps_wanted = set(content_layers) | set(style_layers)
-        stats_set = (
-            {
+        if stats_taps and batch_groups == 1:
+            ineligible = [
                 n
                 for n in style_layers
-                if n.startswith("relu") and n not in content_layers
-            }
-            if stats_taps and batch_groups == 1
-            else set()
-        )
+                if not n.startswith("relu") or n in content_layers
+            ]
+            if ineligible:
+                # a partial stats_set would return a MIXED style list
+                # (tensors and (mean, std) pairs) that downstream losses
+                # cannot distinguish — refuse instead
+                raise ValueError(
+                    "stats_taps=True requires every style layer to be a "
+                    f"relu not shared with content_layers; got {ineligible}"
+                )
+            stats_set = set(style_layers)
+        else:
+            stats_set = set()
         table = VGG19_BN_LAYERS if bn else VGG19_LAYERS
         stop_idx = max(table[n] for n in taps_wanted) if truncate else None
         gN = batch_groups

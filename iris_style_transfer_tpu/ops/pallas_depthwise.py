@@ -91,14 +91,16 @@ def _pick_blocks(h: int, w: int, c: int, itemsize: int) -> tuple[int, int] | Non
     return None
 
 
-def supported(x_shape: tuple[int, ...], k: int, stride: int) -> bool:
-    """Stride-1 odd-k depthwise on TPU with a workable (T, Cb) tiling."""
+def supported(x_shape: tuple[int, ...], k: int, stride: int, itemsize: int = 2) -> bool:
+    """Stride-1 odd-k depthwise on TPU with a workable (T, Cb) tiling.
+    ``itemsize`` must be the ACTUAL activation dtype's — the tiling that
+    fits for bf16 can exceed VMEM for f32."""
     if stride != 1 or k % 2 == 0 or len(x_shape) != 4:
         return False
     b, h, w, c = x_shape
     if jax.default_backend() != "tpu":
         return False
-    return _pick_blocks(h, w, c, 2) is not None
+    return _pick_blocks(h, w, c, itemsize) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

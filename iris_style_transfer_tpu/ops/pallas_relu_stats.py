@@ -29,6 +29,15 @@ a constant-index output block is well-defined).
 Reference anchor: the stats being produced are the reference's BN style
 statistics (``utils.py:324-355``, per-channel spatial mean / Bessel std),
 whose sum/sumsq form lives in ``ops/losses.py:style_stats``.
+
+Sharding caveat (same as :mod:`pallas_gram` / :mod:`pallas_pool`): a
+``pallas_call`` has no SPMD partitioning rule, so under a mesh with
+SHARDED operands (e.g. spatial NST with ``--model_parallel > 1``) XLA
+must replicate around it — correct but slow.  The multi-device
+equivalence tests run on the CPU backend where ``supported()`` is False,
+i.e. they validate the composed-XLA fallback's sharded math, not this
+kernel under sharding; measure on real multi-chip hardware before
+combining ``stats_taps`` with spatial parallelism.
 """
 
 from __future__ import annotations

@@ -13,3 +13,4 @@ from .checkpoint import (
     latest_state_step,
 )
 from .profiler import StepTimer, trace
+from .cache import enable_compile_cache

@@ -89,10 +89,18 @@ def make_nst_fn(
     # the tensors.
     from ..models import layers as _L
 
+    # eligibility: every style tap must be a relu that is not also a
+    # content tap — otherwise VGG19.apply would return a MIXED style list
+    # (some tensors, some (mean, std) pairs) and the stats loss would
+    # unpack garbage.  Ineligible layer sets silently run the classic path.
+    stats_eligible = all(
+        n.startswith("relu") and n not in content_layers for n in style_layers
+    )
     use_stats = (
         (_L.STATS_TAPS if stats_taps is None else stats_taps)
         and bn_loss
         and not pack_batch
+        and stats_eligible
     )
     vgg_apply = functools.partial(
         VGG19.apply,

@@ -110,6 +110,30 @@ def test_nst_pack_batch_matches_unpacked(vgg_params, imgs):
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=2e-2)
 
 
+def test_nst_stats_taps_ineligible_layers_fall_back(vgg_params, imgs):
+    """stats_taps with a style layer that is also a content layer (or not
+    a relu) must NOT produce a mixed tensor/(mean,std) style list: the
+    NST builder falls back to the classic path, and VGG19.apply itself
+    refuses a partial stats request."""
+    c, s = imgs
+    from iris_style_transfer_tpu.models import VGG19
+    from iris_style_transfer_tpu.transfer.nst import make_nst_fn
+
+    # overlap with the default content layer relu4_2 -> silently classic
+    fn = jax.jit(make_nst_fn(
+        epochs=2, stats_taps=True,
+        style_layers=("relu1_1", "relu4_2"),
+    ))
+    res = fn(vgg_params, c, s)
+    assert np.isfinite(np.asarray(res.s_loss_hist)).all()
+
+    with pytest.raises(ValueError, match="stats_taps"):
+        VGG19.apply(
+            vgg_params, c, stats_taps=True,
+            style_layers=("conv1_1", "relu2_1"),
+        )
+
+
 def test_nst_stats_taps_matches_baseline(vgg_params, imgs):
     """probe15 candidate B wiring: stats_taps=True (style taps returned
     as fused-relu+stats (mean, std) pairs) must reproduce the baseline

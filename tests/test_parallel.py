@@ -108,7 +108,12 @@ def test_spatial_sharded_nst_stats_taps_matches_single_device():
     under spatial sharding: the per-(B, C) sum/sumsq reductions now live
     INSIDE the VGG forward's custom-VJP op, so XLA must psum them across
     the H shards and route the d(mean)/d(std) cotangents back through the
-    shard-local relu masks — must match unsharded execution."""
+    shard-local relu masks — must match unsharded execution.
+
+    Scope: on this CPU mesh ``pallas_relu_stats.supported()`` is False,
+    so this validates the composed-XLA fallback's sharded math; the
+    Pallas kernel under real multi-chip sharding is probe territory
+    (see the sharding caveat in ops/pallas_relu_stats.py)."""
     mesh = make_mesh(model_parallel=2)
     params = VGG19.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(1)

@@ -22,14 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "saved", "xla_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-except Exception:
-    pass
+from iris_style_transfer_tpu.runtime.cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def main():

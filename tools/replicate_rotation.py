@@ -125,12 +125,16 @@ def main():
     def warp_rot(x, ang):
         return jax.vmap(lambda im: rotate(im, ang, mode="nearest"))(x)
 
+    @jax.jit  # sp/ep as traced args: ONE compile across all (dist, rep) pairs
+    def _warp_pers_jit(x, sp, ep):
+        return jax.vmap(lambda im: perspective_warp(im, sp, ep))(x)
+
     def warp_pers(x, distortion, key):
         if distortion == 0.0:
             return x
         h, w = x.shape[1:3]
         sp, ep = random_perspective_params(key, h, w, distortion)
-        return jax.jit(jax.vmap(lambda im: perspective_warp(im, sp, ep)))(x)
+        return _warp_pers_jit(x, sp, ep)
 
     def accuracy(batches):
         pred1, pred2 = [], []

@@ -10,7 +10,8 @@
 # (FUSE_RELU_POOL / USE_MXU_FWD / STATS_TAPS), record accept/reject in
 # BASELINE.md's probe log, re-run bench.py (recaptures BENCH_last.json +
 # BENCH_extra.json), and commit.
-set -e
+set -e -o pipefail  # pipefail: a probe failing into `tee` must abort, not
+                    # continue to a bench recapture against a dead backend
 cd "$(dirname "$0")/.."
 LOG=${1:-saved/probe_logs}
 mkdir -p "$LOG"
