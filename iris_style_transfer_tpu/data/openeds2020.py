@@ -231,8 +231,19 @@ def stream_openeds2020(
             buf_imgs, buf_labs = [], []
             yield imgs, labs, valid
 
-    for si in order:
-        buf_imgs.extend(decode_gray_batch(seq_paths[si], dims[0], dims[1]))
+    # decode the NEXT sequence in a background thread while the consumer
+    # trains on batches drained from the current one (the same
+    # decode/device overlap the feature-extraction path uses —
+    # prefetch.background; one sequence of lookahead keeps the memory
+    # bound at O(batch x buffer_batches + two sequences))
+    from .prefetch import background
+
+    def decoded():
+        for si in order:
+            yield si, decode_gray_batch(seq_paths[si], dims[0], dims[1])
+
+    for si, frames in background(decoded(), size=1):
+        buf_imgs.extend(frames)
         buf_labs.extend(labels[si])
         note_peak()
         yield from drain(final=False)

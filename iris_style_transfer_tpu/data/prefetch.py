@@ -49,59 +49,67 @@ def batch_iterator(
         yield tuple(a[take] for a in arrays)
 
 
+_END = object()
+
+
+def _background(iterator, size: int, transform=None):
+    """Shared pump for :func:`background` / :func:`prefetch_to_device`:
+    bounded queue, producer errors re-raised in the consumer, and — when
+    the CONSUMER abandons the generator early (exception mid-epoch, GC) —
+    a stop event that unblocks the producer's ``put`` so it doesn't pin
+    queued decoded batches in memory for the life of the process."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in iterator:
+                if not put(item if transform is None else transform(item)):
+                    return
+            put(_END)
+        except BaseException as e:  # surface producer errors to the consumer
+            put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def background(iterator, size: int = 2):
     """Run a host iterator in a background thread with a bounded queue —
     used to overlap CPU work (image decode) with device work (feature
     extraction) so neither waits on the other (round-2 VERDICT weak #7:
     the 550K-frame OpenEDS2020 feature-extraction path alternated decode
     and TPU serially)."""
-    q: queue.Queue = queue.Queue(maxsize=size)
-    _END = object()
-
-    def worker():
-        try:
-            for item in iterator:
-                q.put(item)
-            q.put(_END)
-        except BaseException as e:  # surface producer errors to the consumer
-            q.put(e)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    return _background(iterator, size)
 
 
 def prefetch_to_device(iterator, size: int = 2, mesh=None):
     """Wrap a host batch iterator with background device staging.  With a
     mesh, arrays are placed batch-sharded over the ``data`` axis."""
-    q: queue.Queue = queue.Queue(maxsize=size)
-    _END = object()
 
-    def put(batch):
+    def stage(batch):
         if mesh is not None:
             return tuple(
                 jax.device_put(a, batch_sharding(mesh, np.ndim(a))) for a in batch
             )
         return tuple(jax.device_put(a) for a in batch)
 
-    def worker():
-        try:
-            for batch in iterator:
-                q.put(put(batch))
-            q.put(_END)
-        except BaseException as e:  # surface staging errors to the consumer
-            q.put(e)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    return _background(iterator, size, transform=stage)

@@ -160,15 +160,19 @@ def _conv_small_cin_bwd(groups, res, ct):
         w2 = jnp.einsum("kcgo,gh->gokhc", wg, eye)
         wf = w2.reshape(g * co, kh * kw * cin_packed).astype(ct.dtype)
 
+    # keep y in f32 through the 9 shifted adds: chaining them in bf16 would
+    # round 9 extra times, and that ulp noise feeds L-BFGS's curvature gate
+    # (ys > 1e-10) where it flips pair acceptance at near-ties — dx rounds
+    # exactly once, like the XLA conv-transpose this path replaces
     y = jax.lax.dot_general(
         ct, wf,
         dimension_numbers=(((3,), (0,) if g > 1 else (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(ct.dtype)  # (B, H, W, kh*kw*cin_packed)
+    )  # (B, H, W, kh*kw*cin_packed) f32
 
     b_, h_, w_, _ = ct.shape
     ypad = jnp.pad(y, ((0, 0), (ph, ph), (ph, ph), (0, 0)))
-    dx = jnp.zeros(x.shape, ct.dtype)
+    dx = jnp.zeros(x.shape, jnp.float32)
     for i in range(kh):
         for j in range(kw):
             tap = jax.lax.slice(

@@ -251,6 +251,10 @@ class VGG19:
                     and nxt == "M"
                     and rname not in taps_wanted
                     and (stop_idx is None or idx + 1 <= stop_idx)
+                    # relu_max_pool reshapes into 2x2 windows; odd extents
+                    # must take max_pool's reduce_window fallback instead
+                    and h.shape[1] % 2 == 0
+                    and h.shape[2] % 2 == 0
                 ):
                     fuse_next_pool = True  # relu applied inside the pool
                 elif rname in stats_set:

@@ -73,12 +73,18 @@ def make_multislice_mesh(
     return Mesh(arr, ("slice", "data", "model"))
 
 
+def _batch_spec(mesh: Mesh):
+    """The PartitionSpec entry for a batch axis on this mesh — ``data``,
+    plus ``slice`` on a multi-slice mesh.  Single source of the mesh-axis
+    policy for batch_sharding/spatial_sharding."""
+    batch_axes = [ax for ax in ("slice", "data") if ax in mesh.axis_names]
+    return tuple(batch_axes) if len(batch_axes) > 1 else batch_axes[0]
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) axis over the data-parallel mesh axes
     (``data``, plus ``slice`` on a multi-slice mesh); replicate the rest."""
-    batch_axes = [ax for ax in ("slice", "data") if ax in mesh.axis_names]
-    spec = tuple(batch_axes) if len(batch_axes) > 1 else batch_axes[0]
-    return NamedSharding(mesh, P(spec, *([None] * (ndim - 1))))
+    return NamedSharding(mesh, P(_batch_spec(mesh), *([None] * (ndim - 1))))
 
 
 def make_stager(mesh: Mesh | None):
@@ -116,9 +122,7 @@ def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     for the relu4_1 pyramid that is ``(H/8) % model == 0`` (H=224 ->
     model in {2,4,7,14,28}; H=512 -> any power of two up to 64).
     """
-    batch_axes = [ax for ax in ("slice", "data") if ax in mesh.axis_names]
-    spec = tuple(batch_axes) if len(batch_axes) > 1 else batch_axes[0]
-    return NamedSharding(mesh, P(spec, "model", *([None] * (ndim - 2))))
+    return NamedSharding(mesh, P(_batch_spec(mesh), "model", *([None] * (ndim - 2))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -290,3 +290,37 @@ def nst(
 def _cached_nst_fn(**kwargs):
     compute_dtype = kwargs.pop("compute_dtype")
     return jax.jit(make_nst_fn(compute_dtype=compute_dtype, **kwargs))
+
+
+@functools.lru_cache(maxsize=16)
+def cached_nst_program(
+    nst_epochs: int,
+    c_w: float,
+    s_w: float,
+    compute_dtype_name: str,
+    scan_unroll: int = 8,
+    history_size: int = 10,
+    pallas_gram: str = "auto",
+    stats_taps: str = "auto",
+):
+    """The jitted production NST program keyed on the WorkloadConfig perf
+    knobs — one builder shared by both IST workload mains so the two
+    evals always benchmark the same program (reference inner loop:
+    ``iris_style_transfer_openeds2019.py:93-100`` /
+    ``iris_style_transfer_openeds2020.py:103-110``)."""
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
+    st = {"auto": None, "on": True, "off": False}[stats_taps]
+    return jax.jit(
+        make_nst_fn(
+            epochs=nst_epochs,
+            c_loss_weight=c_w,
+            s_loss_weight=s_w,
+            compute_dtype=compute_dtype,
+            scan_unroll=scan_unroll,
+            history_size=history_size,
+            pallas_gram=pg,
+            stats_taps=st,
+            lbfgs_dtype=jnp.bfloat16,
+        )
+    )

@@ -18,7 +18,6 @@ device programs.
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 
 import jax
@@ -46,7 +45,7 @@ from ..parallel import make_stager, spatial_sharding
 from ..pipelines import composite_batch, extract_iris_batch
 from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
-from ..transfer.nst import make_nst_fn
+from ..transfer.nst import cached_nst_program, make_nst_fn
 from ..utils import prepare_dir, seed as seed_all, sweep_done, write_sweep_marker
 
 
@@ -111,21 +110,9 @@ def make_programs(glint, compute_dtype, mesh=None):
     return pre_fn, post_fn, stage
 
 
-@functools.lru_cache(maxsize=16)
-def _nst_program(nst_epochs: int, c_w: float, s_w: float, compute_dtype_name: str,
-                 scan_unroll: int = 8, history_size: int = 10,
-                 pallas_gram: str = "auto", stats_taps: str = "auto"):
-    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
-    pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
-    st = {"auto": None, "on": True, "off": False}[stats_taps]
-    return jax.jit(
-        make_nst_fn(
-            epochs=nst_epochs, c_loss_weight=c_w, s_loss_weight=s_w,
-            compute_dtype=compute_dtype, scan_unroll=scan_unroll,
-            history_size=history_size, pallas_gram=pg, stats_taps=st,
-            lbfgs_dtype=jnp.bfloat16,
-        )
-    )
+# the jitted NST program builder is shared with the 2019/2020 twin
+# workload (one program, one benchmark): transfer.nst.cached_nst_program
+_nst_program = cached_nst_program
 
 
 def iris_style_transfer_openeds2020(
