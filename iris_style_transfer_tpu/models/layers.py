@@ -361,7 +361,7 @@ def _relu_max_pool_bwd(window, res, ct):
     x, y = res
     from ..ops import pallas_pool
 
-    if pallas_pool.supported(x.shape, window):
+    if pallas_pool.supported(x.shape, window, jnp.dtype(x.dtype).itemsize):
         # one lane-full pass over a bitcast (H, W, B*C) view — the XLA
         # lowering of the expression below runs at 25% vreg occupancy in
         # the bs4 batch-in-sublanes layout (see ops/pallas_pool.py)
@@ -407,7 +407,7 @@ def relu_stats(x: jax.Array):
 def _relu_stats_fwd(x):
     from ..ops import pallas_relu_stats
 
-    if pallas_relu_stats.supported(x.shape):
+    if pallas_relu_stats.supported(x.shape, jnp.dtype(x.dtype).itemsize):
         y, s1, s2 = pallas_relu_stats.relu_stats_fwd(x)
     else:
         y = jax.nn.relu(x)
@@ -421,7 +421,7 @@ def _relu_stats_bwd(x, cts):
     ct_y, ct_s1, ct_s2 = cts
     from ..ops import pallas_relu_stats
 
-    if pallas_relu_stats.supported(x.shape):
+    if pallas_relu_stats.supported(x.shape, jnp.dtype(x.dtype).itemsize):
         return (pallas_relu_stats.relu_stats_bwd(x, ct_y, ct_s1, ct_s2),)
     xf = x.astype(jnp.float32)
     g = (

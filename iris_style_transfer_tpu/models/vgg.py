@@ -97,6 +97,17 @@ class VGG19:
         self.compute_dtype = compute_dtype
 
     @staticmethod
+    def stats_taps_eligible(style_layers, content_layers) -> bool:
+        """True iff every style tap is a relu not shared with the content
+        taps — the ONE predicate deciding whether ``stats_taps`` may
+        apply (a partial set would return a mixed tensor/(mean, std)
+        style list).  Shared by ``apply``'s hard check and the NST
+        builder's silent fallback."""
+        return all(
+            n.startswith("relu") and n not in content_layers for n in style_layers
+        )
+
+    @staticmethod
     def init(key: jax.Array, dtype=jnp.float32, bn: bool = False) -> dict:
         """Deterministic seeded init; used when pretrained torchvision
         weights are unavailable (zero egress).  torchvision's own
@@ -169,18 +180,13 @@ class VGG19:
         """
         taps_wanted = set(content_layers) | set(style_layers)
         if stats_taps and batch_groups == 1:
-            ineligible = [
-                n
-                for n in style_layers
-                if not n.startswith("relu") or n in content_layers
-            ]
-            if ineligible:
+            if not VGG19.stats_taps_eligible(style_layers, content_layers):
                 # a partial stats_set would return a MIXED style list
                 # (tensors and (mean, std) pairs) that downstream losses
                 # cannot distinguish — refuse instead
                 raise ValueError(
                     "stats_taps=True requires every style layer to be a "
-                    f"relu not shared with content_layers; got {ineligible}"
+                    f"relu not shared with content_layers; got {list(style_layers)}"
                 )
             stats_set = set(style_layers)
         else:

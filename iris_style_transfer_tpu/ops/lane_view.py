@@ -1,0 +1,47 @@
+"""The lane-full bitcast view shared by the elementwise Pallas kernels.
+
+    x (B, H, W, C)  --transpose(1,2,0,3)+reshape-->  (H, W, B*C)
+
+The rearrangement is a BITCAST (no data movement) exactly when the
+operand's layout is XLA's bs4 batch-in-sublanes choice ``{3,0,2,1}``
+([H][W][B][C] minor-to-major); on other layouts XLA inserts real
+transposes and the probe harnesses decide whether a kernel still wins.
+Each lane of the view is one (b, c) pair, which is what makes per-(B, C)
+reductions (style stats) and per-channel weights (depthwise) lane-local.
+
+Keeping the forward/inverse pair in ONE place keeps every kernel's
+layout assumption in sync (pallas_pool, pallas_relu_stats).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# VMEM working-set budget per strip for lane-view kernels; v5e VMEM is
+# ~16 MB/core and kernels hold 2-4 strips plus double-buffering.
+STRIP_BYTES = 4 * 1024 * 1024
+
+
+def view(a: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (H, W, B*C)."""
+    b, h, w, c = a.shape
+    return jnp.transpose(a, (1, 2, 0, 3)).reshape(h, w, b * c)
+
+
+def unview(v: jax.Array, b: int) -> jax.Array:
+    """(H, W, B*C) -> (B, H, W, C)."""
+    h, w, bc = v.shape
+    return jnp.transpose(v.reshape(h, w, b, bc // b), (2, 0, 1, 3))
+
+
+def pick_rows(h: int, w: int, bc: int, itemsize: int, row_scale: int = 1) -> int | None:
+    """Largest strip height t in {8, 4, 2, 1} dividing ``h`` whose
+    (row_scale * t, w, bc) strip fits :data:`STRIP_BYTES`; None if even
+    t=1 is too large (caller must fall back to XLA)."""
+    for t in (8, 4, 2, 1):
+        if h % t:
+            continue
+        if row_scale * t * w * bc * itemsize <= STRIP_BYTES:
+            return t
+    return None

@@ -74,9 +74,12 @@ def _kernel(xp_hbm, w_ref, a_ref, b_ref, o_ref, xs, sem, *, k: int, t: int):
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)  # SiLU
 
 
-def _pick_blocks(h: int, w: int, c: int, itemsize: int) -> tuple[int, int] | None:
-    """(T rows, Cb channels) such that the strip fits the VMEM target;
-    None if no supported tiling exists."""
+def _pick_blocks(
+    h: int, w: int, c: int, itemsize: int, k: int = 3
+) -> tuple[int, int] | None:
+    """(T rows, Cb channels) such that the (T + k - 1)-row halo strip fits
+    the VMEM target; None if no supported tiling exists."""
+    halo = k - 1
     for t in (8, 4, 2, 1):
         if h % t:
             continue
@@ -86,7 +89,7 @@ def _pick_blocks(h: int, w: int, c: int, itemsize: int) -> tuple[int, int] | Non
             cb = c // div
             if cb % 128 and cb != c:
                 continue  # don't split into lane-ragged blocks
-            if (t + 6) * w * cb * itemsize <= _VMEM_STRIP_BYTES:
+            if (t + halo) * w * cb * itemsize <= _VMEM_STRIP_BYTES:
                 return t, cb
     return None
 
@@ -100,7 +103,7 @@ def supported(x_shape: tuple[int, ...], k: int, stride: int, itemsize: int = 2) 
     b, h, w, c = x_shape
     if jax.default_backend() != "tpu":
         return False
-    return _pick_blocks(h, w, c, itemsize) is not None
+    return _pick_blocks(h, w, c, itemsize, k) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -120,7 +123,7 @@ def dw_conv_bn_silu(
     """
     bsz, h, wdim, c = x.shape
     p = (k - 1) // 2
-    blocks = _pick_blocks(h, wdim, c, x.dtype.itemsize)
+    blocks = _pick_blocks(h, wdim, c, x.dtype.itemsize, k)
     assert blocks is not None, "caller must gate on supported()"
     t, cb = blocks
 

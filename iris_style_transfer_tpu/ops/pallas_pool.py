@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lane_view import pick_rows, unview, view
+
 
 def _bwd_kernel(x_ref, y_ref, ct_ref, g_ref):
     t2, w, bc = x_ref.shape  # (2T, W, BC)
@@ -67,9 +69,19 @@ def _bwd_view(xv: jax.Array, yv: jax.Array, ctv: jax.Array, rows_per_step: int =
     )(xv, yv, ctv)
 
 
-def supported(x_shape: tuple[int, ...], window: int) -> bool:
+def _pick_t(h: int, w: int, bc: int, itemsize: int) -> int | None:
+    """Pooled rows per grid step: the kernel holds the (2t, w, bc) x and
+    g strips plus two (t, w/2, bc) pooled strips, so budget the 2t strip
+    (``lane_view.pick_rows`` with row_scale=2) against VMEM — without
+    the bound, larger batches (bs64) would fail at compile time instead
+    of falling back to XLA."""
+    t2 = pick_rows(h // 2, w, bc, itemsize, row_scale=2)
+    return t2
+
+
+def supported(x_shape: tuple[int, ...], window: int, itemsize: int = 2) -> bool:
     """Kernel applicability: 2x2 non-overlap pooling on even dims, lane
-    dim (B*C) a multiple of 128, enough rows to tile, TPU backend."""
+    dim (B*C) a multiple of 128, a VMEM-feasible strip height, TPU."""
     if window != 2 or len(x_shape) != 4:
         return False
     b, h, w, c = x_shape
@@ -78,6 +90,7 @@ def supported(x_shape: tuple[int, ...], window: int) -> bool:
         and h % 8 == 0
         and w % 2 == 0
         and (b * c) % 128 == 0
+        and _pick_t(h, w, b * c, itemsize) is not None
     )
 
 
@@ -93,11 +106,7 @@ def relu_pool_bwd(
     (perf_probe14) decides whether the kernel still wins.
     """
     b, h, w, c = x.shape
-
-    def view(a):
-        ah = a.shape[1]
-        return jnp.transpose(a, (1, 2, 0, 3)).reshape(ah, a.shape[2], b * a.shape[3])
-
-    t = 4 if (h // 2) % 4 == 0 else 1
+    t = _pick_t(h, w, b * c, x.dtype.itemsize)
+    assert t is not None, "caller must gate on supported()"
     gv = _bwd_view(view(x), view(y), view(ct), rows_per_step=t, interpret=interpret)
-    return jnp.transpose(gv.reshape(h, w, b, c), (2, 0, 1, 3))
+    return unview(gv, b)

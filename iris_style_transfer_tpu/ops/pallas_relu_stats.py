@@ -49,6 +49,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lane_view import pick_rows, unview, view
+
 
 def _fwd_kernel(x_ref, y_ref, s1_ref, s2_ref):
     i = pl.program_id(0)
@@ -81,14 +83,17 @@ def _bwd_kernel(x_ref, cty_ref, a_ref, b_ref, g_ref):
     g_ref[:] = jnp.where(x > zero, g.astype(g_ref.dtype), zero.astype(g_ref.dtype))
 
 
-def _rows_per_step(h: int) -> int:
-    return 8 if h % 8 == 0 else 1
+def _rows_per_step(h: int, w: int, bc: int, itemsize: int) -> int:
+    # fwd holds x-in + y-out strips; bwd x + ct + g: budget each strip
+    t = pick_rows(h, w, bc, itemsize)
+    assert t is not None, "caller must gate on supported()"
+    return t
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fwd_view(xv: jax.Array, interpret: bool = False):
     h, w, bc = xv.shape
-    t = _rows_per_step(h)
+    t = _rows_per_step(h, w, bc, xv.dtype.itemsize)
     return pl.pallas_call(
         _fwd_kernel,
         grid=(h // t,),
@@ -112,7 +117,7 @@ def _fwd_view(xv: jax.Array, interpret: bool = False):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bwd_view(xv, ctyv, a, b2, interpret: bool = False):
     h, w, bc = xv.shape
-    t = _rows_per_step(h)
+    t = _rows_per_step(h, w, bc, xv.dtype.itemsize)
     return pl.pallas_call(
         _bwd_kernel,
         grid=(h // t,),
@@ -130,22 +135,20 @@ def _bwd_view(xv, ctyv, a, b2, interpret: bool = False):
     )(xv, ctyv, a, b2)
 
 
-def supported(x_shape: tuple[int, ...]) -> bool:
-    """Applicability: 4-d NHWC, lane dim (B*C) a multiple of 128, TPU."""
+def supported(x_shape: tuple[int, ...], itemsize: int = 2) -> bool:
+    """Applicability: 4-d NHWC, lane dim (B*C) a multiple of 128, TPU,
+    and a strip height whose VMEM working set fits (``lane_view.pick_rows``
+    — without the bound, scaled-up configs like the bs64 production shape
+    would fail at compile time instead of falling back to XLA)."""
     if len(x_shape) != 4:
         return False
     b, h, w, c = x_shape
-    return jax.default_backend() == "tpu" and (b * c) % 128 == 0 and w % 8 == 0
-
-
-def _view(a: jax.Array) -> jax.Array:
-    b, h, w, c = a.shape
-    return jnp.transpose(a, (1, 2, 0, 3)).reshape(h, w, b * c)
-
-
-def _unview(v: jax.Array, b: int) -> jax.Array:
-    h, w, bc = v.shape
-    return jnp.transpose(v.reshape(h, w, b, bc // b), (2, 0, 1, 3))
+    return (
+        jax.default_backend() == "tpu"
+        and (b * c) % 128 == 0
+        and w % 8 == 0
+        and pick_rows(h, w, b * c, itemsize) is not None
+    )
 
 
 def relu_stats_fwd(x: jax.Array, interpret: bool = False):
@@ -157,8 +160,8 @@ def relu_stats_fwd(x: jax.Array, interpret: bool = False):
     decides whether the kernel still wins.
     """
     b = x.shape[0]
-    yv, s1v, s2v = _fwd_view(_view(x), interpret=interpret)
-    y = _unview(yv, b)
+    yv, s1v, s2v = _fwd_view(view(x), interpret=interpret)
+    y = unview(yv, b)
     s1 = s1v.reshape(b, x.shape[3])
     s2 = s2v.reshape(b, x.shape[3])
     return y, s1, s2
@@ -172,5 +175,5 @@ def relu_stats_bwd(
     b, h, w, c = x.shape
     a = ct_s1.astype(jnp.float32).reshape(1, b * c)
     b2 = ct_s2.astype(jnp.float32).reshape(1, b * c)
-    gv = _bwd_view(_view(x), _view(ct_y.astype(x.dtype)), a, b2, interpret=interpret)
-    return _unview(gv, b)
+    gv = _bwd_view(view(x), view(ct_y.astype(x.dtype)), a, b2, interpret=interpret)
+    return unview(gv, b)

@@ -25,6 +25,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from ..models import layers as _L
 from ..models.vgg import VGG19
 from ..ops.gram import gram_matrix
 from ..ops.losses import (
@@ -87,15 +88,12 @@ def make_nst_fn(
     # the full activation tensors (probe15 candidate; None defers to the
     # layers.STATS_TAPS module flag).  BN-loss only — the Gram path needs
     # the tensors.
-    from ..models import layers as _L
-
     # eligibility: every style tap must be a relu that is not also a
     # content tap — otherwise VGG19.apply would return a MIXED style list
     # (some tensors, some (mean, std) pairs) and the stats loss would
-    # unpack garbage.  Ineligible layer sets silently run the classic path.
-    stats_eligible = all(
-        n.startswith("relu") and n not in content_layers for n in style_layers
-    )
+    # unpack garbage.  Ineligible layer sets silently run the classic
+    # path.  ONE predicate shared with VGG19.apply's hard check.
+    stats_eligible = VGG19.stats_taps_eligible(style_layers, content_layers)
     use_stats = (
         (_L.STATS_TAPS if stats_taps is None else stats_taps)
         and bn_loss
@@ -274,6 +272,9 @@ def nst(
         epochs=epochs,
         clone_content=clone_content,
         bn_loss=BN_loss,
+        # resolve the module flag BEFORE the cache key — an 'auto'/None
+        # key would pin the flag's value at first build
+        stats_taps=bool(_L.STATS_TAPS),
         c_loss_weight=float(c_loss_weight),
         s_loss_weight=float(s_loss_weight),
         lr=float(lr),
@@ -292,7 +293,6 @@ def _cached_nst_fn(**kwargs):
     return jax.jit(make_nst_fn(compute_dtype=compute_dtype, **kwargs))
 
 
-@functools.lru_cache(maxsize=16)
 def cached_nst_program(
     nst_epochs: int,
     c_w: float,
@@ -307,10 +307,33 @@ def cached_nst_program(
     knobs — one builder shared by both IST workload mains so the two
     evals always benchmark the same program (reference inner loop:
     ``iris_style_transfer_openeds2019.py:93-100`` /
-    ``iris_style_transfer_openeds2020.py:103-110``)."""
+    ``iris_style_transfer_openeds2020.py:103-110``).
+
+    'auto' is resolved against ``layers.STATS_TAPS`` HERE, before the
+    cache — baking the flag's build-time value under an 'auto' cache key
+    would silently ignore later flag flips (the probe-harness pattern)."""
+    if stats_taps == "auto":
+        stats_taps = "on" if _L.STATS_TAPS else "off"
+    return _cached_nst_program(
+        nst_epochs, c_w, s_w, compute_dtype_name,
+        scan_unroll, history_size, pallas_gram, stats_taps,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_nst_program(
+    nst_epochs: int,
+    c_w: float,
+    s_w: float,
+    compute_dtype_name: str,
+    scan_unroll: int,
+    history_size: int,
+    pallas_gram: str,
+    stats_taps: str,
+):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
-    st = {"auto": None, "on": True, "off": False}[stats_taps]
+    st = {"on": True, "off": False}[stats_taps]
     return jax.jit(
         make_nst_fn(
             epochs=nst_epochs,
