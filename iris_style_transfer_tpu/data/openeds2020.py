@@ -160,8 +160,11 @@ def stream_openeds2020(
     (``appendix.pdf`` Table 5), far beyond what the reference's eager
     materialization (``data_preprocessing.py:385-417``) allows on modest
     hosts.  Sequences are decoded lazily through the native threaded
-    loader, holding O(batch x buffer_batches + one sequence) frames in
-    memory; the final short batch is padded by repeating the last row with
+    loader, holding O(batch x buffer_batches + two sequences) frames in
+    memory (the current sequence's frames in the shuffle buffer plus one
+    decoded ahead by the background thread — ``stats['peak_buffer_frames']``
+    counts the shuffle buffer only, not the one-sequence lookahead); the
+    final short batch is padded by repeating the last row with
     ``valid`` marking real rows (the same contract as
     ``prefetch.batch_iterator``), or dropped with ``drop_remainder``.
 

@@ -179,7 +179,12 @@ class VGG19:
         dead end.  Taps come back packed the same way.
         """
         taps_wanted = set(content_layers) | set(style_layers)
-        if stats_taps and batch_groups == 1:
+        if stats_taps and batch_groups > 1:
+            # the packed forward's taps carry g images per channel axis —
+            # silently returning tensors where the caller was promised
+            # (mean, std) pairs would fail far from the cause
+            raise ValueError("stats_taps is not supported with batch_groups > 1")
+        if stats_taps:
             if not VGG19.stats_taps_eligible(style_layers, content_layers):
                 # a partial stats_set would return a MIXED style list
                 # (tensors and (mean, std) pairs) that downstream losses

@@ -18,9 +18,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# VMEM working-set budget per strip for lane-view kernels; v5e VMEM is
-# ~16 MB/core and kernels hold 2-4 strips plus double-buffering.
-STRIP_BYTES = 4 * 1024 * 1024
+# Total VMEM working-set budget for lane-view kernels: v5e VMEM is
+# ~16 MB/core; leave headroom for Mosaic's own allocations.  A kernel's
+# working set is (number of strip-sized blocks) x (2 for Pallas's
+# double-buffered pipelining) x strip bytes.
+VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def view(a: jax.Array) -> jax.Array:
@@ -35,13 +37,17 @@ def unview(v: jax.Array, b: int) -> jax.Array:
     return jnp.transpose(v.reshape(h, w, b, bc // b), (2, 0, 1, 3))
 
 
-def pick_rows(h: int, w: int, bc: int, itemsize: int, row_scale: int = 1) -> int | None:
-    """Largest strip height t in {8, 4, 2, 1} dividing ``h`` whose
-    (row_scale * t, w, bc) strip fits :data:`STRIP_BYTES`; None if even
-    t=1 is too large (caller must fall back to XLA)."""
+def pick_rows(
+    h: int, w: int, bc: int, itemsize: int, row_scale: int = 1, n_strips: int = 2
+) -> int | None:
+    """Largest strip height t in {8, 4, 2, 1} dividing ``h`` such that the
+    kernel's WHOLE working set — ``n_strips`` blocks of
+    (row_scale * t, w, bc), each double-buffered by the Pallas pipeline —
+    fits :data:`VMEM_BUDGET`; None if even t=1 is too large (caller must
+    fall back to XLA)."""
     for t in (8, 4, 2, 1):
         if h % t:
             continue
-        if row_scale * t * w * bc * itemsize <= STRIP_BYTES:
+        if n_strips * 2 * row_scale * t * w * bc * itemsize <= VMEM_BUDGET:
             return t
     return None

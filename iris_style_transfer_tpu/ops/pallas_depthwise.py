@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_STRIP_BYTES = 4 * 1024 * 1024  # target size for the x strip
+from .lane_view import VMEM_BUDGET
 
 
 def _kernel(xp_hbm, w_ref, a_ref, b_ref, o_ref, xs, sem, *, k: int, t: int):
@@ -77,8 +77,10 @@ def _kernel(xp_hbm, w_ref, a_ref, b_ref, o_ref, xs, sem, *, k: int, t: int):
 def _pick_blocks(
     h: int, w: int, c: int, itemsize: int, k: int = 3
 ) -> tuple[int, int] | None:
-    """(T rows, Cb channels) such that the (T + k - 1)-row halo strip fits
-    the VMEM target; None if no supported tiling exists."""
+    """(T rows, Cb channels) such that the kernel's WHOLE working set fits
+    VMEM: the (T + k - 1)-row halo scratch (single-buffered — the DMA is
+    manual), the T-row output block double-buffered by the pipeline, and
+    the f32 accumulator; None if no supported tiling exists."""
     halo = k - 1
     for t in (8, 4, 2, 1):
         if h % t:
@@ -89,7 +91,12 @@ def _pick_blocks(
             cb = c // div
             if cb % 128 and cb != c:
                 continue  # don't split into lane-ragged blocks
-            if (t + halo) * w * cb * itemsize <= _VMEM_STRIP_BYTES:
+            need = (
+                (t + halo) * w * cb * itemsize  # halo scratch
+                + 2 * t * w * cb * itemsize  # output block, double-buffered
+                + t * w * cb * 4  # f32 accumulator
+            )
+            if need <= VMEM_BUDGET:
                 return t, cb
     return None
 

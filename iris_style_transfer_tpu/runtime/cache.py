@@ -25,5 +25,13 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
             cache_dir or os.path.join(_REPO_ROOT, "saved", "xla_cache"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    except Exception as e:
+        # best-effort, but never silent: without the cache every run pays
+        # minutes of XLA time per program on this 1-core host
+        import sys
+
+        print(
+            f"[compile-cache] disabled ({type(e).__name__}: {e}) — "
+            "programs will recompile from scratch",
+            file=sys.stderr,
+        )

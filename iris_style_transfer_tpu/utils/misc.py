@@ -64,12 +64,17 @@ def plot_help(images, titles, figsize=None, grayscale: bool = True, axis_off: bo
     plt.show()
 
 
-def sweep_done(marker_path: str, config: dict) -> bool:
+def sweep_done(marker_path: str, config: dict, defaults: dict | None = None) -> bool:
     """True if a sweep-completion marker exists AND was written under the
     same configuration.  A marker from a run with a different seed / batch
     size / weights must NOT cause a skip — it would silently suppress the
     new configuration's results (the combo directory is keyed only by
-    (s_loss_weight, nst_epoch, split))."""
+    (s_loss_weight, nst_epoch, split)).
+
+    ``defaults``: config keys ADDED to the schema after a marker was
+    written do not invalidate it while they still hold their default
+    value (otherwise every new WorkloadConfig knob would force a one-time
+    re-run of all completed combos); any non-default value re-runs."""
     if not os.path.exists(marker_path):
         return False
     try:
@@ -77,7 +82,16 @@ def sweep_done(marker_path: str, config: dict) -> bool:
             data = json.load(fh)
     except (json.JSONDecodeError, OSError):
         return False
-    return data.get("config") == config
+    stored = data.get("config")
+    if stored == config:
+        return True
+    if defaults and isinstance(stored, dict):
+        added = {k: v for k, v in config.items() if k not in stored}
+        if added and all(
+            k in defaults and defaults[k] == v for k, v in added.items()
+        ):
+            return {k: v for k, v in config.items() if k in stored} == stored
+    return False
 
 
 def write_sweep_marker(marker_path: str, config: dict, metrics: dict) -> None:

@@ -45,7 +45,7 @@ from ..parallel import make_stager, spatial_sharding
 from ..pipelines import composite_batch, extract_iris_batch
 from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
-from ..transfer.nst import cached_nst_program, make_nst_fn
+from ..transfer.nst import cached_nst_program
 from ..utils import prepare_dir, seed as seed_all, sweep_done, write_sweep_marker
 
 
@@ -361,7 +361,8 @@ def main():
                 # resumable sweep (SURVEY §5.3): keep existing outputs and
                 # skip combos a previous (possibly crashed) run completed
                 done_marker = os.path.join(save_dir, "done.json")
-                if sweep_done(done_marker, sweep_config) and not args.rerun:
+                if sweep_done(done_marker, sweep_config,
+                              defaults=WorkloadConfig().to_dict()) and not args.rerun:
                     print(f"[sweep] {save_dir} already complete, skipping")
                     continue
                 prepare_dir(save_dir, idempotent=True)

@@ -76,3 +76,25 @@ def test_restore_exact_file_not_latest(tmp_path):
 def test_restore_missing_returns_none(tmp_path):
     assert restore_checkpoint(str(tmp_path / "nope")) is None
     assert restore_state(str(tmp_path / "nope"), {"a": jnp.zeros(1)}) is None
+
+
+def test_sweep_done_tolerates_added_default_knobs(tmp_path):
+    """A config key ADDED to WorkloadConfig after a done.json was written
+    must not invalidate the marker while it holds its default value
+    (otherwise every new knob forces a one-time re-run of all completed
+    sweep combos); a non-default value must still re-run."""
+    from iris_style_transfer_tpu.utils.misc import sweep_done, write_sweep_marker
+
+    marker = str(tmp_path / "done.json")
+    old_config = {"bs": 8, "seed": 42}
+    write_sweep_marker(marker, old_config, {"m": 1.0})
+
+    new_config = {"bs": 8, "seed": 42, "stats_taps": "auto"}
+    defaults = {"stats_taps": "auto"}
+    assert sweep_done(marker, new_config, defaults=defaults)
+    assert not sweep_done(marker, {**new_config, "stats_taps": "on"}, defaults=defaults)
+    # a changed PRE-EXISTING key still invalidates
+    assert not sweep_done(marker, {"bs": 16, "seed": 42, "stats_taps": "auto"},
+                          defaults=defaults)
+    # without defaults, exact equality is required (old strict behavior)
+    assert not sweep_done(marker, new_config)
