@@ -36,7 +36,7 @@ def main():
     from PIL import Image
 
     from iris_style_transfer_tpu.data import synthetic_eye_batch
-    from iris_style_transfer_tpu.models import RITnet, VGG19
+    from iris_style_transfer_tpu.models import RITnet, VGG19, load_pretrained
     from iris_style_transfer_tpu.ops.image import gray_to_rgb
     from iris_style_transfer_tpu.pipelines import composite_batch, mask_and_crop_iris
     from iris_style_transfer_tpu.transfer import nst
@@ -56,14 +56,23 @@ def main():
     def load(path, seed):
         if path:
             img = Image.open(path).convert("L")
-            return np.asarray(img, np.float32)[..., None] / 255.0
+            arr = np.asarray(img, np.float32)[..., None] / 255.0
+            # RITnet's U-Net needs /16-divisible extents for its skip
+            # concats; pad user images up (reflect) like the B7 shell pads
+            # 400 -> 416 (models/efficientnet.py:pad_height)
+            ph = (-arr.shape[0]) % 16
+            pw = (-arr.shape[1]) % 16
+            if ph or pw:
+                print(f"padding {arr.shape[:2]} by ({ph}, {pw}) to /16-divisible")
+                arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+            return arr
         return synthetic_eye_batch(1, height=400, width=640, seed=seed)[0][0]
 
     c_eye = jnp.asarray(load(args.content, 1))[None]
     s_eye = jnp.asarray(load(args.style, 2))[None]
 
     ritnet = RITnet.pretrained()
-    vgg = VGG19.init(jax.random.PRNGKey(0))
+    vgg = load_pretrained("vgg19", init_fn=lambda: VGG19.init(jax.random.PRNGKey(0)))
 
     c_iris, c_mask, c_bbox = mask_and_crop_iris(c_eye, ritnet)
     s_iris, _, _ = mask_and_crop_iris(s_eye, ritnet)

@@ -55,12 +55,14 @@ def main():
     import jax.numpy as jnp
     import jax
 
-    from iris_style_transfer_tpu.models import VGG19
+    from iris_style_transfer_tpu.models import VGG19, load_pretrained
     from iris_style_transfer_tpu.transfer import nst
 
     c = jnp.asarray(load_image(args.content, args.size, 1))[None]
     s = jnp.asarray(load_image(args.style, args.size, 2))[None]
-    params = VGG19.init(jax.random.PRNGKey(0))  # or port torchvision weights
+    # ported torchvision weights when present (models/weights/vgg19.npz or
+    # --; tools/port_weights.py), seeded He init otherwise
+    params = load_pretrained("vgg19", init_fn=lambda: VGG19.init(jax.random.PRNGKey(0)))
 
     lr = args.lr if args.lr is not None else (1.0 if args.optimizer == "lbfgs" else 0.02)
     t0 = time.time()

@@ -148,15 +148,24 @@ def mlp_tp_spec(params: dict) -> dict:
 
 
 def shard_params(mesh: Mesh, params: Any, spec: Any = None) -> Any:
-    """Place params on the mesh.  ``spec`` is a matching pytree of
-    PartitionSpecs (missing/None -> replicated)."""
-    if spec is None:
-        return jax.tree.map(lambda a: jax.device_put(a, replicated(mesh)), params)
-
+    """Place params on the mesh.  ``spec`` is a (possibly PARTIAL) pytree
+    of PartitionSpecs: entries that are missing or None replicate.  A
+    plain ``jax.tree.map(place, params, spec)`` would raise a
+    dict-key-mismatch for partial specs, so the walk aligns the spec to
+    the params structure explicitly."""
     def place(a, s):
         return jax.device_put(a, NamedSharding(mesh, s if s is not None else P()))
 
-    return jax.tree.map(place, params, spec)
+    def walk(p, s):
+        if isinstance(p, dict):
+            sd = s if isinstance(s, dict) else {}
+            return {k: walk(v, sd.get(k)) for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            ss = s if isinstance(s, (list, tuple)) and len(s) == len(p) else [None] * len(p)
+            return type(p)(walk(v, sv) for v, sv in zip(p, ss))
+        return place(p, s)
+
+    return walk(params, spec)
 
 
 def pmean_metrics(metrics: dict, axis_name: str = "data") -> dict:

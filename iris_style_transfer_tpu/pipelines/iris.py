@@ -55,6 +55,8 @@ def extract_iris_batch(
     glint_threshold: float = 0.8,
     out_size: tuple[int, int] = (224, 224),
     rgb: bool = True,
+    open_area: int = 0,
+    connectivity: int = 2,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched iris extraction: images (B, H, W, 1) + seg labels (B, H, W)
     -> (irises (B, *out_size, 3 or 1), masks (B, H, W, 1), bboxes (B, 4)).
@@ -63,7 +65,9 @@ def extract_iris_batch(
     ``crop_image`` on ``x * m`` (``pipelines.py:154-161``); resize to
     ``out_size`` is folded into the crop as one bilinear gather.
     """
-    masks = iris_mask_from_seg(segs, imgs, glint_threshold)
+    masks = iris_mask_from_seg(
+        segs, imgs, glint_threshold, open_area=open_area, connectivity=connectivity
+    )
     masked = imgs * masks.astype(imgs.dtype)
     bboxes = jax.vmap(lambda m: nonzero_bbox(m[..., 0]))(masked)
     irises = jax.vmap(lambda im, bb: crop_and_resize(im, bb, out_size))(masked, bboxes)
@@ -92,17 +96,17 @@ def mask_and_crop_iris(
     (x_min, y_min, x_max, y_max) row/col convention).
     """
     seg = RITnet.apply(ritnet_params, x)
-    masks = iris_mask_from_seg(
-        seg,
+    # one shared mask->crop pipeline (a second copy here would silently
+    # diverge from the workloads' extract_iris_batch path)
+    return extract_iris_batch(
         x,
+        seg,
         glint_threshold,
+        out_size=out_size,
+        rgb=True,
         open_area=area_threshold if use_area_opening else 0,
         connectivity=connectivity,
     )
-    masked = x * masks.astype(x.dtype)
-    bboxes = jax.vmap(lambda m: nonzero_bbox(m[..., 0]))(masked)
-    irises = jax.vmap(lambda im, bb: crop_and_resize(im, bb, out_size))(masked, bboxes)
-    return gray_to_rgb(irises), masks, bboxes
 
 
 def composite_batch(

@@ -9,8 +9,10 @@
 //
 // Build: make -C native   (links libpng + libjpeg + libz + pthread)
 
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <atomic>
 #include <thread>
@@ -38,6 +40,14 @@ namespace {
 
 constexpr double kGrayR = 0.299, kGrayG = 0.587, kGrayB = 0.114;
 
+// NOTE on error handling: both libpng and libjpeg report errors by
+// longjmp (libjpeg's DEFAULT handler instead calls exit(), which would
+// kill the whole training process on one corrupt file — a custom
+// error_exit below restores the documented "nonzero on failure"
+// contract).  Because longjmp skips destructors (UB for non-trivial
+// ones), all buffers that live across decode calls are raw malloc'd
+// pointers declared volatile and freed on both exits.
+
 int decode_png(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
                int max_w) {
   png_structp png =
@@ -48,7 +58,11 @@ int decode_png(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return 2;
   }
+  uint8_t* volatile buf = nullptr;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free(buf);
+    free(rows);
     png_destroy_read_struct(&png, &info, nullptr);
     return 3;
   }
@@ -64,42 +78,78 @@ int decode_png(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
   int color = png_get_color_type(png, info);
   int depth = png_get_bit_depth(png, info);
 
-  // normalize to 8-bit gray (PIL 'L' semantics: ITU-R 601 luma)
+  // normalize to 8-bit gray (PIL 'L' semantics: ITU-R 601 luma);
+  // transparency is discarded (PIL convert('L') does not composite),
+  // so alpha is stripped UNCONDITIONALLY — gating it on the
+  // pre-transform color type missed gray+tRNS inputs
   if (depth == 16) png_set_strip_16(png);
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_set_strip_alpha(png);
+  png_set_interlace_handling(png);  // de-interlace Adam7 inputs
   png_read_update_info(png, info);
 
   int channels = png_get_channels(png, info);
-  std::vector<uint8_t> row(png_get_rowbytes(png, info));
+  size_t rowbytes = png_get_rowbytes(png, info);
+  buf = (uint8_t*)malloc(rowbytes * h);
+  rows = (png_bytep*)malloc(sizeof(png_bytep) * h);
+  if (!buf || !rows) {
+    free(buf);
+    free(rows);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+  for (png_uint_32 y = 0; y < h; ++y) rows[y] = buf + (size_t)y * rowbytes;
+  // whole-image read: handles interlaced files transparently
+  png_read_image(png, const_cast<png_bytep*>(rows));
+  png_read_end(png, nullptr);
+
   for (png_uint_32 y = 0; y < h; ++y) {
-    png_read_row(png, row.data(), nullptr);
+    const uint8_t* src = buf + (size_t)y * rowbytes;
     float* dst = out + (size_t)y * w;
     if (channels == 1) {
-      for (png_uint_32 x = 0; x < w; ++x) dst[x] = row[x] / 255.0f;
+      for (png_uint_32 x = 0; x < w; ++x) dst[x] = src[x] / 255.0f;
     } else {  // RGB
       for (png_uint_32 x = 0; x < w; ++x) {
-        const uint8_t* p = &row[(size_t)x * channels];
+        const uint8_t* p = &src[(size_t)x * channels];
         double g = kGrayR * p[0] + kGrayG * p[1] + kGrayB * p[2];
         dst[x] = (float)((uint8_t)(g + 0.5) / 255.0);
       }
     }
   }
-  png_read_end(png, nullptr);
+  free(buf);
+  free(rows);
   png_destroy_read_struct(&png, &info, nullptr);
   *out_h = (int)h;
   *out_w = (int)w;
   return 0;
 }
 
+struct JpegErr {
+  jpeg_error_mgr mgr;  // must be first: cinfo.err points here
+  jmp_buf jb;
+};
+
+void jpeg_error_trap(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
 int decode_jpeg(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
                 int max_w) {
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  // libjpeg's default error_exit calls exit(): one corrupt frame in a
+  // 550K-frame dataset would take down the process from a worker thread.
+  // Trap to setjmp instead and report the documented nonzero rc.
+  jerr.mgr.error_exit = jpeg_error_trap;
+  uint8_t* volatile row = nullptr;
+  if (setjmp(jerr.jb)) {
+    free(row);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, fp);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -114,16 +164,28 @@ int decode_jpeg(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
     jpeg_destroy_decompress(&cinfo);
     return 4;
   }
-  std::vector<uint8_t> row(w);
-  uint8_t* rowp = row.data();
+  row = (uint8_t*)malloc(w);
+  if (!row) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
   while ((int)cinfo.output_scanline < h) {
     int y = cinfo.output_scanline;
+    uint8_t* rowp = row;
     jpeg_read_scanlines(&cinfo, &rowp, 1);
     float* dst = out + (size_t)y * w;
     for (int x = 0; x < w; ++x) dst[x] = row[x] / 255.0f;
   }
   jpeg_finish_decompress(&cinfo);
+  free(row);
+  row = nullptr;
+  // truncated files are only a WARNING to libjpeg (it pads the missing
+  // scanlines with gray and reports success); PIL raises on truncation,
+  // so count warnings as failure rather than return silently-corrupt data
+  long warnings = jerr.mgr.num_warnings;
   jpeg_destroy_decompress(&cinfo);
+  if (warnings) return 6;
   *out_h = h;
   *out_w = w;
   return 0;

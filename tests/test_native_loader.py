@@ -53,3 +53,54 @@ def test_pil_fallback_path(image_files, monkeypatch):
 def test_native_decode_size_mismatch_raises(image_files):
     with pytest.raises(IOError):
         native_loader.decode_gray_batch([image_files[0][0]], 32, 32)
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="native lib not built")
+def test_native_decode_corrupt_jpeg_fails_without_killing_process(image_files):
+    """libjpeg's DEFAULT error handler calls exit() on a corrupt file — one
+    bad frame in a 550K-frame dataset would take down the whole training
+    process.  The loader installs a setjmp trap instead; a truncated JPEG
+    must surface as the documented IOError, with the process intact."""
+    import tempfile as tf
+
+    tmp = tf.mkdtemp()
+    rng = np.random.default_rng(3)
+    good = os.path.join(tmp, "good.jpg")
+    Image.fromarray(
+        rng.integers(0, 256, size=(64, 80), dtype=np.uint8), "L"
+    ).save(good, quality=95)
+    data = open(good, "rb").read()
+    # truncation: libjpeg pads with gray and calls it a WARNING — the
+    # loader must fail it like PIL does, not return silently-corrupt data
+    trunc = os.path.join(tmp, "trunc.jpg")
+    open(trunc, "wb").write(data[: len(data) // 3])
+    # garbage body: drives libjpeg's error_exit (the path that would have
+    # exit()'d the process under the default handler)
+    garbage = os.path.join(tmp, "garbage.jpg")
+    open(garbage, "wb").write(data[:4] + b"\x00" * 256)
+
+    with pytest.raises(IOError, match="failed"):
+        native_loader.decode_gray_batch([good, trunc], 64, 80)
+    with pytest.raises(IOError, match="failed"):
+        native_loader.decode_gray_batch([good, garbage], 64, 80)
+    # process alive, and the good file still decodes
+    out = native_loader.decode_gray_batch([good], 64, 80)
+    assert out.shape == (1, 64, 80, 1)
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="native lib not built")
+def test_native_decode_gray_alpha_png_matches_pil():
+    """Gray+alpha PNGs (including tRNS-derived alpha) must decode to PIL
+    'L' values — the alpha is discarded, never misread as a color
+    channel."""
+    import tempfile as tf
+
+    tmp = tf.mkdtemp()
+    rng = np.random.default_rng(4)
+    la = rng.integers(0, 256, size=(32, 40, 2), dtype=np.uint8)
+    p = os.path.join(tmp, "la.png")
+    Image.fromarray(la, "LA").save(p)
+    want = np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+
+    out = native_loader.decode_gray_batch([p], 32, 40)
+    np.testing.assert_allclose(out[0, ..., 0], want, atol=1 / 255.0)

@@ -166,6 +166,20 @@ def test_multislice_mesh_nst_matches_single_device():
     )
 
 
+def test_shard_params_partial_spec_replicates_missing():
+    """The documented contract: spec entries that are MISSING (not just
+    None) replicate — a plain tree.map would raise a dict-key mismatch."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    params = {"a": {"w": np.ones((8, 4), np.float32), "b": np.ones(4, np.float32)}}
+    out = shard_params(mesh, params, spec={"a": {"w": P("data", None)}})
+    assert out["a"]["w"].sharding.spec == P("data", None)
+    # 'b' was absent from the spec -> replicated
+    assert out["a"]["b"].sharding.is_fully_replicated
+
+
 @pytest.mark.slow
 def test_tensor_parallel_classifier_matches_replicated():
     from iris_style_transfer_tpu.models import Classifier2
