@@ -38,12 +38,23 @@ def _bwd_kernel(x_ref, y_ref, ct_ref, g_ref):
     t2, w, bc = x_ref.shape  # (2T, W, BC)
     t, wp, _ = y_ref.shape  # (T, W/2, BC)
     x6 = x_ref[:].reshape(t, 2, wp, 2, bc)
-    y = y_ref[:][:, None, :, None, :]
-    ct = ct_ref[:][:, None, :, None, :]
-    zero = jnp.zeros((), x6.dtype)
-    keep = (x6 > zero) & (x6 == y)
-    g6 = jnp.where(keep, ct, jnp.zeros((), ct_ref.dtype))
-    g_ref[:] = g6.reshape(t2, w, bc)
+    # Mosaic-compile constraints found on the real v5e (2026-08-18):
+    #  - no bf16 vector cmpf ("Target does not support this comparison")
+    #    -> compare in f32 (bf16->f32 is exact, predicates unchanged);
+    #  - i1 masks born from singleton-broadcast comparisons carry
+    #    replicated layouts that cannot be combined ("Invalid relayout:
+    #    Non-singleton logical dimension is replicated in destination but
+    #    not in source" on the `&`) -> use ONE comparison and fold the
+    #    relu condition into the compared value: z = x>0 ? x : -1 never
+    #    equals the pooled max y (y >= 0 always, and x==y<=0 must not
+    #    keep), so `z == y` alone is the tie-to-all keep mask; apply it
+    #    as a float multiply so no boolean ops remain.
+    xf = x6.astype(jnp.float32)
+    z = jnp.where(xf > 0.0, xf, jnp.full_like(xf, -1.0))
+    yb = y_ref[:][:, None, :, None, :].astype(jnp.float32)
+    ctb = ct_ref[:][:, None, :, None, :].astype(jnp.float32)
+    g6 = ctb * (z == yb).astype(jnp.float32)
+    g_ref[:] = g6.reshape(t2, w, bc).astype(g_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("rows_per_step", "interpret"))

@@ -79,8 +79,10 @@ def _bwd_kernel(x_ref, cty_ref, a_ref, b_ref, g_ref):
     b2 = b_ref[:].astype(jnp.float32)  # (1, BC) = dL/ds2
     xf = x.astype(jnp.float32)
     g = ct + a[None, :, :] + 2.0 * xf * b2[None, :, :]
-    zero = jnp.zeros((), x.dtype)
-    g_ref[:] = jnp.where(x > zero, g.astype(g_ref.dtype), zero.astype(g_ref.dtype))
+    # compare in f32: Mosaic on v5e rejects bf16 vector cmpf (and
+    # bf16->f32 is exact, so the predicate is unchanged)
+    zero = jnp.zeros((), g_ref.dtype)
+    g_ref[:] = jnp.where(xf > 0.0, g.astype(g_ref.dtype), zero)
 
 
 def _rows_per_step(h: int, w: int, bc: int, itemsize: int) -> int:
