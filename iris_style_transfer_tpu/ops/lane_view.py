@@ -38,16 +38,22 @@ def unview(v: jax.Array, b: int) -> jax.Array:
 
 
 def pick_rows(
-    h: int, w: int, bc: int, itemsize: int, row_scale: int = 1, n_strips: int = 2
+    h: int, w: int, bc: int, itemsize: int, row_scale: int = 1, n_strips: int = 2,
+    stack_f32: int = 0,
 ) -> int | None:
     """Largest strip height t in {8, 4, 2, 1} dividing ``h`` such that the
     kernel's WHOLE working set — ``n_strips`` blocks of
-    (row_scale * t, w, bc), each double-buffered by the Pallas pipeline —
-    fits :data:`VMEM_BUDGET`; None if even t=1 is too large (caller must
-    fall back to XLA)."""
+    (row_scale * t, w, bc), each double-buffered by the Pallas pipeline,
+    plus ``stack_f32`` strip-sized f32 REGISTER/STACK temporaries (Mosaic
+    allocates live vector intermediates on its scoped-vmem stack; the
+    512px OOM of 2026-08-18 — "Scoped allocation 34.02M, limit 16.00M" —
+    was exactly these f32 upcasts going uncounted) — fits
+    :data:`VMEM_BUDGET`; None if even t=1 is too large (caller must fall
+    back to XLA)."""
     for t in (8, 4, 2, 1):
         if h % t:
             continue
-        if n_strips * 2 * row_scale * t * w * bc * itemsize <= VMEM_BUDGET:
+        strip = row_scale * t * w * bc
+        if n_strips * 2 * strip * itemsize + stack_f32 * strip * 4 <= VMEM_BUDGET:
             return t
     return None

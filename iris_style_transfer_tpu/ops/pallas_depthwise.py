@@ -93,8 +93,9 @@ def _pick_blocks(
                 continue  # don't split into lane-ragged blocks
             need = (
                 (t + halo) * w * cb * itemsize  # halo scratch
+                + (t + halo) * (w + halo) * cb * itemsize  # in-register xpad
                 + 2 * t * w * cb * itemsize  # output block, double-buffered
-                + t * w * cb * 4  # f32 accumulator
+                + 3 * t * w * cb * 4  # f32 stack: accumulator + tap + y
             )
             if need <= VMEM_BUDGET:
                 return t, cb

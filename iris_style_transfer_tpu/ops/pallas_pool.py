@@ -83,11 +83,13 @@ def _bwd_view(xv: jax.Array, yv: jax.Array, ctv: jax.Array, rows_per_step: int =
 def _pick_t(h: int, w: int, bc: int, itemsize: int) -> int | None:
     """Pooled rows per grid step: the kernel holds the (2t, w, bc) x and
     g strips plus two (t, w/2, bc) pooled strips = 2.5 strip-equivalents
-    (round up to 3), each double-buffered — budget the whole working set
-    against VMEM (``lane_view.pick_rows``); without the bound, larger
-    batches (bs64) would fail at compile time instead of falling back to
-    XLA."""
-    return pick_rows(h // 2, w, bc, itemsize, row_scale=2, n_strips=3)
+    (round up to 3), each double-buffered, PLUS ~4 strip-sized f32 stack
+    temporaries from the Mosaic-compile workaround (xf, z, the mask as
+    f32, g6) — budget the whole working set against VMEM
+    (``lane_view.pick_rows``); without the bound, larger shapes fail at
+    compile time ("Scoped allocation ... exceeded scoped vmem limit")
+    instead of falling back to XLA."""
+    return pick_rows(h // 2, w, bc, itemsize, row_scale=2, n_strips=3, stack_f32=4)
 
 
 def supported(x_shape: tuple[int, ...], window: int, itemsize: int = 2) -> bool:

@@ -87,8 +87,10 @@ def _bwd_kernel(x_ref, cty_ref, a_ref, b_ref, g_ref):
 
 def _rows_per_step(h: int, w: int, bc: int, itemsize: int) -> int:
     # worst case is the backward: x + ct + g strips (the forward holds
-    # x + y); budget all three, double-buffered, against VMEM
-    t = pick_rows(h, w, bc, itemsize, n_strips=3)
+    # x + y), double-buffered, plus ~3 strip-sized f32 stack temporaries
+    # (ct, xf, g in f32 — Mosaic puts live vector intermediates on its
+    # scoped-vmem stack); budget the whole set against VMEM
+    t = pick_rows(h, w, bc, itemsize, n_strips=3, stack_f32=3)
     assert t is not None, "caller must gate on supported()"
     return t
 
@@ -150,7 +152,7 @@ def supported(x_shape: tuple[int, ...], itemsize: int = 2) -> bool:
         jax.default_backend() == "tpu"
         and (b * c) % 128 == 0
         and w % 8 == 0
-        and pick_rows(h, w, b * c, itemsize, n_strips=3) is not None
+        and pick_rows(h, w, b * c, itemsize, n_strips=3, stack_f32=3) is not None
     )
 
 
