@@ -25,6 +25,27 @@ and each grid step issues a manual ``make_async_copy`` of its
 XLA (cheap relative to the fusion win at B7's channel counts) so window
 indexing never clamps.  Column halos are in-register shifts.
 
+The grid covers (batch, H strips) ONLY — the channel axis is never
+sliced — and the kernel requires C % 128 == 0 AND W % 8 == 0.  Mosaic
+stages ``memory_space=ANY`` inputs as memrefs whose minor (lane) and
+second-minor (sublane) dimensions are padded to the (8, 128) tile, and
+every ``memref_slice`` of such a ref — including a full-extent one —
+must be tile-aligned on those axes.  Three on-chip compile attempts
+established this empirically (saved/probe_logs_r3b/probe17.log,
+probe17_fixed.log, probe17_aligned.log): slicing C=64 of a 128-padded
+lane axis fails, and so does the full-extent W=20 of a 24-padded
+sublane axis.  Relayout workarounds (pre-padding C or W in XLA, merging
+W·C into one lane axis, batch-into-lanes bitcasts) each cost at least
+one extra full memory pass or 5-100% zero padding traffic — more than
+the ~50% traffic the fusion saves.  Of B7's stride-1 depthwise shapes,
+only blocks 6-7 (C = 2304, 3840) pass the lane gate, and at every real
+pipeline resolution their stride-32 spatial width (20 at 640-wide
+inputs, 7 at 224) fails the sublane gate — so NO production shape
+qualifies and the kernel is a documented dead end, kept for the
+interpret-mode equivalence test and for hardware where the alignment
+rules differ.  Full-C strips always fit VMEM because B7 grows channels
+only as the spatial extent shrinks.
+
 Forward-only by design: every pipeline runs B7 frozen (the reference
 loads and freezes the smp checkpoint, ``models/efficientnet/
 efficientnet.py:27-29``), so no VJP is required.
@@ -48,12 +69,14 @@ from .lane_view import VMEM_BUDGET
 def _kernel(xp_hbm, w_ref, a_ref, b_ref, o_ref, xs, sem, *, k: int, t: int):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
-    ci = pl.program_id(2)
     p = (k - 1) // 2
     cb = xs.shape[-1]
 
+    # Slices only the two MAJOR axes (batch, H) — the minor/lane axis (C)
+    # and second-minor (W) are taken whole, so no 128/8 tile-alignment
+    # constraint applies to this DMA.
     copy = pltpu.make_async_copy(
-        xp_hbm.at[bi, pl.ds(hi * t, t + 2 * p), :, pl.ds(ci * cb, cb)],
+        xp_hbm.at[bi, pl.ds(hi * t, t + 2 * p), :, :],
         xs,
         sem,
     )
@@ -74,31 +97,24 @@ def _kernel(xp_hbm, w_ref, a_ref, b_ref, o_ref, xs, sem, *, k: int, t: int):
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)  # SiLU
 
 
-def _pick_blocks(
-    h: int, w: int, c: int, itemsize: int, k: int = 3
-) -> tuple[int, int] | None:
-    """(T rows, Cb channels) such that the kernel's WHOLE working set fits
-    VMEM: the (T + k - 1)-row halo scratch (single-buffered — the DMA is
-    manual), the T-row output block double-buffered by the pipeline, and
-    the f32 accumulator; None if no supported tiling exists."""
+def _pick_rows(h: int, w: int, c: int, itemsize: int, k: int = 3) -> int | None:
+    """T rows per strip (full C — see module docstring) such that the
+    kernel's WHOLE working set fits VMEM: the (T + k - 1)-row halo scratch
+    (single-buffered — the DMA is manual), the T-row output block
+    double-buffered by the pipeline, and the f32 stack temporaries; None
+    if even T=1 is too large (caller falls back to XLA)."""
     halo = k - 1
     for t in (8, 4, 2, 1):
         if h % t:
             continue
-        for div in (1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 16, 30):
-            if c % div:
-                continue
-            cb = c // div
-            if cb % 128 and cb != c:
-                continue  # don't split into lane-ragged blocks
-            need = (
-                (t + halo) * w * cb * itemsize  # halo scratch
-                + (t + halo) * (w + halo) * cb * itemsize  # in-register xpad
-                + 2 * t * w * cb * itemsize  # output block, double-buffered
-                + 3 * t * w * cb * 4  # f32 stack: accumulator + tap + y
-            )
-            if need <= VMEM_BUDGET:
-                return t, cb
+        need = (
+            (t + halo) * w * c * itemsize  # halo scratch
+            + (t + halo) * (w + halo) * c * itemsize  # in-register xpad
+            + 2 * t * w * c * itemsize  # output block, double-buffered
+            + 3 * t * w * c * 4  # f32 stack: accumulator + tap + y
+        )
+        if need <= VMEM_BUDGET:
+            return t
     return None
 
 
@@ -109,9 +125,11 @@ def supported(x_shape: tuple[int, ...], k: int, stride: int, itemsize: int = 2) 
     if stride != 1 or k % 2 == 0 or len(x_shape) != 4:
         return False
     b, h, w, c = x_shape
+    if c % 128 or w % 8:
+        return False  # Mosaic: DMA slice extents must be (8, 128)-tile-aligned
     if jax.default_backend() != "tpu":
         return False
-    return _pick_blocks(h, w, c, itemsize, k) is not None
+    return _pick_rows(h, w, c, itemsize, k) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -131,9 +149,8 @@ def dw_conv_bn_silu(
     """
     bsz, h, wdim, c = x.shape
     p = (k - 1) // 2
-    blocks = _pick_blocks(h, wdim, c, x.dtype.itemsize, k)
-    assert blocks is not None, "caller must gate on supported()"
-    t, cb = blocks
+    t = _pick_rows(h, wdim, c, x.dtype.itemsize, k)
+    assert t is not None, "caller must gate on supported()"
 
     xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
     wk = w.reshape(k, k, c).astype(x.dtype)
@@ -142,23 +159,23 @@ def dw_conv_bn_silu(
 
     return pl.pallas_call(
         functools.partial(_kernel, k=k, t=t),
-        grid=(bsz, h // t, c // cb),
+        grid=(bsz, h // t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
-            pl.BlockSpec((k, k, cb), lambda bi, hi, ci: (0, 0, ci),
+            pl.BlockSpec((k, k, c), lambda bi, hi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda bi, hi, ci: (0, ci),
+            pl.BlockSpec((1, c), lambda bi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda bi, hi, ci: (0, ci),
+            pl.BlockSpec((1, c), lambda bi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t, wdim, cb), lambda bi, hi, ci: (bi, hi, 0, ci),
+            (1, t, wdim, c), lambda bi, hi: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wdim, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((t + 2 * p, wdim, cb), x.dtype),
+            pltpu.VMEM((t + 2 * p, wdim, c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -131,7 +131,7 @@ def test_mbconv_pallas_dw_matches_xla(monkeypatch):
         pdw, "supported",
         lambda shape, kk, stride, itemsize=2: stride == 1 and kk % 2 == 1
         and len(shape) == 4
-        and pdw._pick_blocks(shape[1], shape[2], shape[3], itemsize) is not None,
+        and pdw._pick_rows(shape[1], shape[2], shape[3], itemsize) is not None,
     )
     monkeypatch.setattr(
         pdw, "dw_conv_bn_silu",
