@@ -37,6 +37,8 @@ from ..models.ritnet import RITnet
 from ..ops.image import (
     crop_and_resize,
     nonzero_bbox,
+    quantize_u8,
+    to_unit_float,
     perspective_warp,
     random_perspective_params,
     random_rotation_params,
@@ -179,6 +181,7 @@ def build_ir_dataset(
 
     @jax.jit
     def process(batch, keys):
+        batch = to_unit_float(batch)  # staged uint8 (4x less H2D)
         seg = RITnet.apply(ritnet_params, batch)
         masks = iris_mask_from_seg(seg, batch, glint_threshold)
         masked = batch * masks.astype(batch.dtype)
@@ -197,7 +200,7 @@ def build_ir_dataset(
     for i in range(0, n, chunk):
         batch_list = xs[i : i + chunk]
         pad = chunk - len(batch_list)
-        batch = np.stack(batch_list + [batch_list[-1]] * pad)
+        batch = quantize_u8(np.stack(batch_list + [batch_list[-1]] * pad))
         keys = jax.random.split(jax.random.fold_in(key, i), chunk)
         crops = np.asarray(process(jnp.asarray(batch), keys))
         out.append(crops[: len(batch_list)])
@@ -209,11 +212,11 @@ class ISTDataset:
     """ISTDataset equivalent (``data_preprocessing.py:110-235``); arrays
     over the whole split, indexable by batch slices."""
 
-    c_imgs: np.ndarray  # (N, H, W, 1)
+    c_imgs: np.ndarray  # (N, H, W, 1) uint8 (dequantized on device)
     c_labels: np.ndarray  # (N,)
     c_masks_iris: np.ndarray  # (N, H, W, 1) bool
     c_iris_bbs: np.ndarray  # (N, 4)
-    c_masks_gt: np.ndarray  # (N, H, W)
+    c_masks_gt: np.ndarray  # (N, H, W) uint8 class labels
     s_irises: np.ndarray  # (N, 224, 224, 1)
     s_labels: np.ndarray  # (N,)
     ious: np.ndarray  # (4, N) pre-NST per-class IoUs
@@ -239,6 +242,7 @@ def build_ist_dataset(
 
     @jax.jit
     def process(batch, seg_gt):
+        batch = to_unit_float(batch)  # staged uint8 (4x less H2D)
         seg = RITnet.apply(ritnet_params, batch)
         ious, miou = iou_per_class(seg, seg_gt)
         masks = iris_mask_from_seg(seg, batch, glint_threshold)
@@ -253,8 +257,8 @@ def build_ist_dataset(
         batch_list = c_imgs[i : i + chunk]
         gt_list = c_masks_gt[i : i + chunk]
         pad = chunk - len(batch_list)
-        batch = np.stack(batch_list + [batch_list[-1]] * pad)
-        gts = np.stack(gt_list + [gt_list[-1]] * pad)
+        batch = quantize_u8(np.stack(batch_list + [batch_list[-1]] * pad))
+        gts = np.stack(gt_list + [gt_list[-1]] * pad).astype(np.uint8)
         ious, miou, masks, bbs, crops = map(
             np.asarray, process(jnp.asarray(batch), jnp.asarray(gts))
         )
@@ -266,11 +270,13 @@ def build_ist_dataset(
     # style donor: another user's masked iris crop (already computed above)
     s_idx = np.asarray([sample_other(l, c_labels) for l in c_labels])
     return ISTDataset(
-        c_imgs=np.stack(c_imgs),
+        # frames/GT stay compact on host (u8) and cross H2D compact; the
+        # jitted programs dequantize (ops.image.to_unit_float) — lossless
+        c_imgs=quantize_u8(np.stack(c_imgs)),
         c_labels=np.asarray(c_labels, np.int32),
         c_masks_iris=np.concatenate(all_masks),
         c_iris_bbs=np.concatenate(all_bbs),
-        c_masks_gt=np.stack(c_masks_gt),
+        c_masks_gt=np.stack(c_masks_gt).astype(np.uint8),
         s_irises=crops[s_idx],
         s_labels=np.asarray(c_labels, np.int32)[s_idx],
         ious=np.concatenate(all_ious, axis=1),

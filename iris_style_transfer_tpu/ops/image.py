@@ -30,6 +30,28 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 _GRAY_WEIGHTS = (0.2989, 0.587, 0.114)
 
 
+def to_unit_float(x: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 image -> float in [0,1]; float images pass through.
+
+    Grayscale frames are 8-bit at the source (PNG), so hosts stage them as
+    uint8 — 4x less host->device traffic — and the jitted programs
+    dequantize here, losslessly (u8/255 is exact in f32).
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(dtype) / 255.0
+    return x
+
+
+def quantize_u8(a):
+    """Host-side inverse of :func:`to_unit_float` for u8-quantized float
+    images (lossless round trip: the loaders decode 8-bit PNGs)."""
+    import numpy as _np
+
+    if a.dtype == _np.uint8:
+        return a
+    return _np.round(a * 255.0).astype(_np.uint8)
+
+
 def imagenet_normalize(x: jax.Array) -> jax.Array:
     """(x - mean) / std over the trailing channel axis (C==3)."""
     mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
@@ -116,6 +138,42 @@ def nonzero_bbox(mask: jax.Array) -> jax.Array:
     return jnp.stack([r_min, c_min, r_max, c_max]).astype(jnp.int32)
 
 
+# Axis-aligned resizes (crop_and_resize / paste_resized) are separable: the
+# sample row depends only on the output row and the sample col only on the
+# output col.  Expressed as two 2-tap interpolation matrices they become
+# batched matmuls (MXU) instead of 4-tap gathers (which XLA lowers to slow
+# element gathers on TPU) — measured 10x on the 2019 pre-classify program and
+# 54x on the composite post-classify program at production shapes
+# (tools/perf_probe20.py, BASELINE.md).  Flag read at trace time; tests A/B
+# both paths.
+MATMUL_RESIZE = True
+
+
+def _axis_weights(coords: jax.Array, src_len: int) -> jax.Array:
+    """(out_len,) float sample coords -> (out_len, src_len) f32 two-tap
+    bilinear weight matrix with the same clamping as :func:`_bilinear_gather`
+    (clip into [0, src-1] before floor; +1 neighbor clipped after)."""
+    c = jnp.clip(coords.astype(jnp.float32), 0.0, src_len - 1.0)
+    c0 = jnp.floor(c)
+    w1 = (c - c0)[:, None]
+    i0 = c0.astype(jnp.int32)[:, None]
+    i1 = jnp.minimum(i0 + 1, src_len - 1)
+    cols = jnp.arange(src_len, dtype=jnp.int32)[None, :]
+    return (cols == i0) * (1.0 - w1) + (cols == i1) * w1
+
+
+def _separable_resample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample (H, W, C) at the axis-aligned grid ys x xs via two matmuls."""
+    h, w, _ = img.shape
+    wy = _axis_weights(ys, h)
+    wx = _axis_weights(xs, w)
+    out = jnp.einsum(
+        "oh,hwc,pw->opc", wy, img.astype(jnp.float32), wx,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(img.dtype)
+
+
 def _bilinear_gather(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     """Sample img (H, W, C) at float coords (out_h, out_w); edge-replicated.
 
@@ -165,6 +223,8 @@ def crop_and_resize(
     # clamp into the crop so edges replicate exactly like crop-then-resize
     ys = jnp.clip(ys, r_min.astype(img.dtype), r_max.astype(img.dtype))
     xs = jnp.clip(xs, c_min.astype(img.dtype), c_max.astype(img.dtype))
+    if MATMUL_RESIZE:
+        return _separable_resample(img, ys, xs)
     ys2 = jnp.broadcast_to(ys[:, None], (oh, ow))
     xs2 = jnp.broadcast_to(xs[None, :], (oh, ow))
     return _bilinear_gather(img, ys2, xs2)
@@ -194,9 +254,12 @@ def paste_resized(
     # map frame pixel centers into patch coordinates
     ys = (fy - r_min + 0.5) * (ph / crop_h) - 0.5
     xs = (fx - c_min + 0.5) * (pw / crop_w) - 0.5
-    ys2 = jnp.broadcast_to(ys[:, None], (fh, fw))
-    xs2 = jnp.broadcast_to(xs[None, :], (fh, fw))
-    sampled = _bilinear_gather(patch, ys2, xs2)
+    if MATMUL_RESIZE:
+        sampled = _separable_resample(patch, ys, xs)
+    else:
+        ys2 = jnp.broadcast_to(ys[:, None], (fh, fw))
+        xs2 = jnp.broadcast_to(xs[None, :], (fh, fw))
+        sampled = _bilinear_gather(patch, ys2, xs2)
     ri = jnp.arange(fh, dtype=jnp.int32)
     ci = jnp.arange(fw, dtype=jnp.int32)
     inside = (

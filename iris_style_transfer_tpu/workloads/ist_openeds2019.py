@@ -28,7 +28,7 @@ import numpy as np
 from ..data import batch_iterator, build_ist_dataset, synthetic_openeds2019
 from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
-from ..ops.image import crop_and_resize, gray_to_rgb
+from ..ops.image import crop_and_resize, gray_to_rgb, to_unit_float
 from ..ops.metrics import classification_metrics, iou_per_class
 from ..parallel import make_mesh, make_stager, shard_params, spatial_sharding
 from ..pipelines import composite_batch
@@ -45,6 +45,7 @@ def make_programs(compute_dtype, seg_chunk: int = 8):
     beta x epochs sweep only re-traces the (combo-dependent) NST scan."""
     @jax.jit
     def pre_fn(vgg_params, c1, c2, c_imgs, masks, bboxes):
+        c_imgs = to_unit_float(c_imgs)  # frames are staged uint8 (4x less H2D)
         masked = c_imgs * masks.astype(c_imgs.dtype)
         irises = jax.vmap(lambda im, bb: crop_and_resize(im, bb, (224, 224)))(masked, bboxes)
         irises = gray_to_rgb(irises)
@@ -53,6 +54,7 @@ def make_programs(compute_dtype, seg_chunk: int = 8):
 
     @jax.jit
     def post_fn(vgg_params, c1, c2, frames, stylized, masks, bboxes):
+        frames = to_unit_float(frames)
         new_frames = composite_batch(frames, stylized, masks, bboxes)
         # re-crop the stylized iris at 224^2 for post-NST classification
         masked = new_frames * masks.astype(new_frames.dtype)
@@ -94,7 +96,11 @@ _nst_program = cached_nst_program
 def _save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
-    arr = np.asarray(np.clip(img, 0, 1) * 255.0, np.uint8)
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        arr = img
+    else:
+        arr = np.asarray(np.clip(img, 0, 1) * 255.0, np.uint8)
     if arr.ndim == 3:
         arr = arr[..., 0] if arr.shape[-1] == 1 else arr
     Image.fromarray(arr).save(path)

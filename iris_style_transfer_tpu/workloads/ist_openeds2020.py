@@ -39,7 +39,7 @@ from ..models import (
     load_pretrained,
     pretrained_path,
 )
-from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox
+from ..ops.image import crop_and_resize, gray_to_rgb, nonzero_bbox, quantize_u8, to_unit_float
 from ..ops.metrics import angular_distance
 from ..parallel import make_stager, spatial_sharding
 from ..pipelines import composite_batch, extract_iris_batch
@@ -63,6 +63,7 @@ def make_programs(glint, compute_dtype, mesh=None):
 
     @jax.jit
     def _pre_chunk(eff_params, g1_params, g2_params, c_imgs):
+        c_imgs = to_unit_float(c_imgs)  # frames are staged uint8 (4x less H2D)
         # compute_dtype reaches the 65M-param B7 and the ResNet backbone:
         # bf16 is +16% images/s at full res with argmax labels identical
         # to f32 (tools/perf_probe13.py)
@@ -78,7 +79,7 @@ def make_programs(glint, compute_dtype, mesh=None):
     def pre_fn(eff_params, g1_params, g2_params, c_imgs):
         """c_imgs: host numpy — each chunk is staged batch-sharded so every
         device segments <=8 frames at a time."""
-        c_imgs = np.asarray(c_imgs)
+        c_imgs = quantize_u8(np.asarray(c_imgs))  # compact H2D, see _pre_chunk
         outs = [
             _pre_chunk(eff_params, g1_params, g2_params, stage(c_imgs[i : i + seg_chunk]))
             for i in range(0, c_imgs.shape[0], seg_chunk)
@@ -87,6 +88,7 @@ def make_programs(glint, compute_dtype, mesh=None):
 
     @jax.jit
     def _post_chunk(eff_params, g1_params, g2_params, frames, stylized, masks, bboxes):
+        frames = to_unit_float(frames)
         new_frames = composite_batch(frames, stylized, masks, bboxes)
         segs = EfficientNet.apply(eff_params, new_frames, compute_dtype=compute_dtype)
         preds1 = GazeEstimator1.apply(g1_params, segs, extract_feature=True)
@@ -144,7 +146,8 @@ def iris_style_transfer_openeds2020(
     def _save_png(path, img):
         from PIL import Image
 
-        arr = np.asarray(np.clip(np.asarray(img), 0, 1) * 255.0, np.uint8)
+        img = np.asarray(img)
+        arr = img if img.dtype == np.uint8 else np.asarray(np.clip(img, 0, 1) * 255.0, np.uint8)
         Image.fromarray(arr[..., 0] if arr.ndim == 3 else arr).save(path)
 
     # ``images`` is either a materialized array or a zero-arg factory
@@ -195,7 +198,7 @@ def iris_style_transfer_openeds2020(
 
         new_frames, p1, p2 = post_fn(
             eff_params, g1_params, g2_params,
-            stage(c_imgs), result.x, stage(masks), stage(bboxes),
+            stage(quantize_u8(np.asarray(c_imgs))), result.x, stage(masks), stage(bboxes),
         )
         r1, d1 = angular_distance(jnp.asarray(np.asarray(p1)[valid]), labs_v)
         r2, d2 = angular_distance(jnp.asarray(np.asarray(p2)[valid]), labs_v)

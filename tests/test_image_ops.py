@@ -87,6 +87,35 @@ def test_paste_resized_roundtrip():
     assert pasted[inside[:, :, 0].astype(bool)].min() >= patch.min() - 1e-5
 
 
+def test_matmul_resize_matches_gather_path():
+    # the separable-matmul resample must agree with the 4-tap gather form
+    # on every bbox shape incl. edge-clamped and degenerate 1-px crops
+    from iris_style_transfer_tpu.ops import image as image_mod
+
+    rng = np.random.default_rng(7)
+    img = rng.random((60, 80, 1)).astype(np.float32)
+    patch = rng.random((32, 32, 1)).astype(np.float32)
+    bboxes = [
+        [10, 20, 39, 59],
+        [0, 0, 59, 79],     # full frame
+        [0, 0, 0, 0],       # 1-px crop (edge replicate everywhere)
+        [58, 78, 59, 79],   # bottom-right corner
+    ]
+    assert image_mod.MATMUL_RESIZE
+    for bb in bboxes:
+        bbox = jnp.asarray(bb)
+        a_crop = np.asarray(crop_and_resize(jnp.asarray(img), bbox, (48, 48)))
+        a_paste = np.asarray(paste_resized((60, 80), jnp.asarray(patch), bbox)[0])
+        image_mod.MATMUL_RESIZE = False
+        try:
+            b_crop = np.asarray(crop_and_resize(jnp.asarray(img), bbox, (48, 48)))
+            b_paste = np.asarray(paste_resized((60, 80), jnp.asarray(patch), bbox)[0])
+        finally:
+            image_mod.MATMUL_RESIZE = True
+        assert np.abs(a_crop - b_crop).max() < 1e-5, bb
+        assert np.abs(a_paste - b_paste).max() < 1e-5, bb
+
+
 def test_composite_iris_semantics():
     # frame * (1-m) + stylized_resized * m, m = iris_mask & bbox
     frame = np.full((40, 50, 1), 0.25, np.float32)

@@ -37,14 +37,19 @@ enable_compile_cache()
 REPS = 6
 
 
+def _sync(out):
+    # the tunneled backend's block_until_ready is unreliable (BASELINE.md
+    # timing methodology) — force completion with a scalar readback
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timeit(name, fn, *args_list):
     """args_list: one tuple of args per rep (fresh inputs defeat caching)."""
-    fn(*args_list[0])  # compile
-    jax.block_until_ready(fn(*args_list[0]))
+    _sync(fn(*args_list[0]))  # compile + warm
     t0 = time.perf_counter()
     for a in args_list:
-        out = fn(*a)
-    jax.block_until_ready(out)
+        _sync(fn(*a))
     dt = (time.perf_counter() - t0) / len(args_list)
     print(f"{name:42s} {dt * 1e3:8.1f} ms/call", flush=True)
     return dt
