@@ -20,27 +20,37 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Apply the tile LUTs via per-region one-hot matmuls (MXU) instead of four
+# per-pixel gathers (XLA lowers those to slow element gathers on TPU — same
+# pathology tools/perf_probe20.py measured for the bilinear resamples).
+# Within each *half-tile* region the four interpolating tile indices are
+# constant (floor(y/th - 0.5) changes only at half-tile boundaries), so the
+# LUT lookup is one (pixels, 256) one-hot x (256, 4-taps) dot per region —
+# bitwise-equal to the gather form (u8 LUT values are exact in bf16 and the
+# MXU accumulates in f32).  Requires even tile sides; gather is the fallback.
+MATMUL_LUT_APPLY = True
 
 
 def _tile_histograms(img_u8: jax.Array, grid: tuple[int, int]) -> jax.Array:
     """(H, W) uint8 -> (gh*gw, 256) float32 histograms.
 
-    Sort + searchsorted instead of scatter-add: no scatters (slow to compile
-    and serialize on both XLA CPU and TPU), just one batched sort and two
-    vectorized binary searches.
+    One fused broadcast-compare + reduce (no scatters, which are slow to
+    compile and serialize on both XLA CPU and TPU; measured 1.5x over the
+    earlier sort+searchsorted form on the real chip, tools/perf_probe21.py,
+    identical counts).
     """
     h, w = img_u8.shape
     gh, gw = grid
     th, tw = h // gh, w // gw
-    tiles = img_u8.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3).reshape(gh * gw, th * tw)
-    tiles = jnp.sort(tiles.astype(jnp.int32), axis=1)
-    edges = jnp.arange(257, dtype=jnp.int32)
-
-    def hist_one(sorted_tile):
-        pos = jnp.searchsorted(sorted_tile, edges, side="left")
-        return (pos[1:] - pos[:-1]).astype(jnp.float32)
-
-    return jax.vmap(hist_one)(tiles)
+    tiles = (
+        img_u8.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3).reshape(gh * gw, th * tw)
+    ).astype(jnp.int32)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    return jnp.sum(
+        (tiles[:, None, :] == bins[None, :, None]).astype(jnp.float32), axis=-1
+    )
 
 
 def _clip_redistribute(hist: jax.Array, clip_limit: float, tile_area: int) -> jax.Array:
@@ -58,6 +68,60 @@ def _clip_redistribute(hist: jax.Array, clip_limit: float, tile_area: int) -> ja
     bump = (jnp.floor(i / step) * step == i) & (jnp.floor(i / step) < residual)
     hist = jnp.where(residual > 0, hist + bump.astype(jnp.float32), hist)
     return hist
+
+
+def _lut_taps_matmul(
+    img_u8: jax.Array, luts: jax.Array, grid: tuple[int, int]
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(H, W) u8 + (gh, gw, 256) LUTs -> four (H, W) f32 tap planes
+    (l00, l01, l10, l11), bitwise-equal to the gather form's lookups.
+
+    Half-tile decomposition: pixel rows in half-tile r span
+    tyf = y/th - 0.5 in [r/2 - 0.5, (r+1)/2 - 0.5) — a half-open interval
+    between consecutive multiples of 0.5, so floor(tyf) is constant within
+    the region and equals (r-1)//2 (same for columns).  The four tile LUTs
+    per region are therefore selected with *static* indices, and the lookup
+    becomes a (pixels, 256) one-hot x (256, 4) dot per region (u8 LUT
+    values are exact in bf16; the MXU accumulates in f32).
+    """
+    h, w = img_u8.shape
+    gh, gw = grid
+    th, tw = h // gh, w // gw
+    hh, ww = th // 2, tw // 2
+
+    r = np.arange(2 * gh)
+    c = np.arange(2 * gw)
+    ty0u, tx0u = (r - 1) // 2, (c - 1) // 2
+    ty0, ty1 = np.clip(ty0u, 0, gh - 1), np.clip(ty0u + 1, 0, gh - 1)
+    tx0, tx1 = np.clip(tx0u, 0, gw - 1), np.clip(tx0u + 1, 0, gw - 1)
+    lsel = jnp.stack(  # (2gh, 2gw, 4, 256), tap order (00, 01, 10, 11)
+        [
+            luts[ty0][:, tx0],
+            luts[ty0][:, tx1],
+            luts[ty1][:, tx0],
+            luts[ty1][:, tx1],
+        ],
+        axis=2,
+    )
+
+    v = (
+        img_u8.reshape(2 * gh, hh, 2 * gw, ww)
+        .transpose(0, 2, 1, 3)
+        .reshape(2 * gh, 2 * gw, hh * ww)
+    )
+    onehot = (v[..., None] == jnp.arange(256, dtype=v.dtype)).astype(jnp.bfloat16)
+    taps = jnp.einsum(
+        "rcpk,rctk->rctp",
+        onehot,
+        lsel.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (2gh, 2gw, 4, hh*ww)
+    planes = (
+        taps.reshape(2 * gh, 2 * gw, 4, hh, ww)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(4, h, w)
+    )
+    return planes[0], planes[1], planes[2], planes[3]
 
 
 def clahe(
@@ -93,22 +157,25 @@ def clahe(
     tx0 = jnp.floor(txf)
     wy = (tyf - ty0)[:, None]
     wx = (txf - tx0)[None, :]
-    # cv2 clips base and +1 neighbor independently from the *unclipped*
-    # floor, so border pixels use the same tile for both taps
-    ty0i = jnp.clip(ty0.astype(jnp.int32), 0, gh - 1)
-    ty1i = jnp.clip(ty0.astype(jnp.int32) + 1, 0, gh - 1)
-    tx0i = jnp.clip(tx0.astype(jnp.int32), 0, gw - 1)
-    tx1i = jnp.clip(tx0.astype(jnp.int32) + 1, 0, gw - 1)
+    if MATMUL_LUT_APPLY and th % 2 == 0 and tw % 2 == 0:
+        l00, l01, l10, l11 = _lut_taps_matmul(img_u8, luts, grid)
+    else:
+        # cv2 clips base and +1 neighbor independently from the *unclipped*
+        # floor, so border pixels use the same tile for both taps
+        ty0i = jnp.clip(ty0.astype(jnp.int32), 0, gh - 1)
+        ty1i = jnp.clip(ty0.astype(jnp.int32) + 1, 0, gh - 1)
+        tx0i = jnp.clip(tx0.astype(jnp.int32), 0, gw - 1)
+        tx1i = jnp.clip(tx0.astype(jnp.int32) + 1, 0, gw - 1)
 
-    v = img_u8.astype(jnp.int32)
-    ty0g = jnp.broadcast_to(ty0i[:, None], (h, w))
-    ty1g = jnp.broadcast_to(ty1i[:, None], (h, w))
-    tx0g = jnp.broadcast_to(tx0i[None, :], (h, w))
-    tx1g = jnp.broadcast_to(tx1i[None, :], (h, w))
-    l00 = luts[ty0g, tx0g, v]
-    l01 = luts[ty0g, tx1g, v]
-    l10 = luts[ty1g, tx0g, v]
-    l11 = luts[ty1g, tx1g, v]
+        v = img_u8.astype(jnp.int32)
+        ty0g = jnp.broadcast_to(ty0i[:, None], (h, w))
+        ty1g = jnp.broadcast_to(ty1i[:, None], (h, w))
+        tx0g = jnp.broadcast_to(tx0i[None, :], (h, w))
+        tx1g = jnp.broadcast_to(tx1i[None, :], (h, w))
+        l00 = luts[ty0g, tx0g, v]
+        l01 = luts[ty0g, tx1g, v]
+        l10 = luts[ty1g, tx0g, v]
+        l11 = luts[ty1g, tx1g, v]
     top = l00 * (1 - wx) + l01 * wx
     bot = l10 * (1 - wx) + l11 * wx
     out = top * (1 - wy) + bot * wy

@@ -97,11 +97,18 @@ def gamma_lut(x: jax.Array, gamma: float = 0.8) -> jax.Array:
     CLAHE.  Input here is float in [0,1]; output is float in [0,1] quantized
     identically (uint8-in, truncated-uint8-out).
     """
-    table = 255.0 * jnp.linspace(0.0, 1.0, 256) ** gamma
-    table = table.astype(jnp.uint8)  # np.uint8 cast truncates (as reference)
-    # index by rounding: float inputs are u8/255, rounding recovers the u8
-    idx = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.int32)
-    return table[idx].astype(x.dtype) / 255.0
+    # Direct elementwise form of the 256-entry LUT: a per-pixel table gather
+    # is ~50 ms per 8 frames on TPU (tools/perf_probe21.py) while the pow is
+    # pure VPU work.  ``u * (1/255)`` reproduces jnp.linspace's step
+    # multiplication bit-exactly, so trunc(255 * (u/255)**g) equals
+    # ``(255*linspace(0,1,256)**g).astype(uint8)[u]`` for every u — asserted
+    # exhaustively over all 256 levels in tests/test_image_ops.py.
+    u = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0)  # integer-valued f32
+    step = jnp.float32(1.0) / jnp.float32(255.0)
+    val = jnp.floor(255.0 * (u * step) ** jnp.float32(gamma))
+    # linspace pins its endpoint to exactly 1.0; u*step need not round-trip
+    val = jnp.where(u == 255.0, 255.0, val)
+    return val.astype(x.dtype) / 255.0
 
 
 def pad_height(x: jax.Array, top: int, bottom: int, value: float = 0.0) -> jax.Array:

@@ -116,6 +116,25 @@ def test_matmul_resize_matches_gather_path():
         assert np.abs(a_paste - b_paste).max() < 1e-5, bb
 
 
+def test_gamma_direct_matches_lut_exhaustively():
+    # the gather-free gamma must equal the reference's uint8-truncated
+    # 256-entry LUT (255*linspace(0,1,256)**g).astype(uint8) at EVERY level
+    from iris_style_transfer_tpu.ops.image import gamma_lut
+
+    for g in (0.8, 0.45, 1.2):
+        # comparator is the prior implementation's jnp f32 table (it differs
+        # from a float64 numpy table by one level at g=0.45/idx 128 — that
+        # f32 semantics is the contract the direct form preserves; the cv2
+        # golden at the production gamma 0.8 is asserted separately below)
+        table = np.asarray(
+            (255.0 * jnp.linspace(0.0, 1.0, 256) ** g).astype(jnp.uint8)
+        )
+        x = jnp.asarray(np.arange(256, dtype=np.float32) / 255.0)
+        got = np.round(np.asarray(gamma_lut(x, g)) * 255.0).astype(np.uint8)
+        mism = np.nonzero(got != table)[0]
+        assert mism.size == 0, (g, mism[:10], got[mism[:10]], table[mism[:10]])
+
+
 def test_composite_iris_semantics():
     # frame * (1-m) + stylized_resized * m, m = iris_mask & bbox
     frame = np.full((40, 50, 1), 0.25, np.float32)
@@ -165,6 +184,32 @@ def test_clahe_matches_cv2():
     # bit-level parity modulo cv2's fixed-point interpolation: allow <=1 LSB
     # on a small fraction of pixels
     assert (diff > 1).mean() < 0.01, f"max={diff.max()}, frac>1={(diff > 1).mean()}"
+
+
+def test_clahe_matmul_apply_matches_gather():
+    # the per-region one-hot-matmul LUT apply must equal the 4-gather form
+    # (it's the same blend; u8 LUT values are exact in bf16 + f32 accum);
+    # also cover an odd-tile shape that falls back to the gather path
+    import importlib
+
+    # ops.__init__ re-exports the clahe *function*, shadowing the submodule
+    clahe_mod = importlib.import_module("iris_style_transfer_tpu.ops.clahe")
+
+    rng = np.random.default_rng(11)
+    assert clahe_mod.MATMUL_LUT_APPLY
+    for shape in ((400, 640), (128, 192)):  # th,tw even in both
+        x = (rng.integers(0, 256, size=shape).astype(np.float32)) / 255.0
+        a = np.asarray(clahe_mod.clahe(jnp.asarray(x)))
+        clahe_mod.MATMUL_LUT_APPLY = False
+        try:
+            b = np.asarray(clahe_mod.clahe(jnp.asarray(x)))
+        finally:
+            clahe_mod.MATMUL_LUT_APPLY = True
+        np.testing.assert_array_equal(a, b, err_msg=str(shape))
+    # odd tile sides (75//8 etc.) must route to the gather fallback, not crash
+    x = (rng.integers(0, 256, size=(72, 104)).astype(np.float32)) / 255.0
+    out = np.asarray(clahe_mod.clahe(jnp.asarray(x)))
+    assert out.shape == (72, 104)
 
 
 def test_rotate_identity_and_90():

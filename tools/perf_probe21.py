@@ -15,7 +15,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+import importlib
+
+# `ops.__init__` re-exports the clahe *function*, shadowing the submodule
+# attribute that `import ... as` resolves — go through importlib
+clahe_mod = importlib.import_module("iris_style_transfer_tpu.ops.clahe")
 from iris_style_transfer_tpu.runtime.cache import enable_compile_cache
+
 
 enable_compile_cache()
 
@@ -53,7 +59,6 @@ def hist_compare_reduce(img_u8, grid):
 
 def main():
     from iris_style_transfer_tpu.models.ritnet import RITnet
-    from iris_style_transfer_tpu.ops import clahe as clahe_mod
     from iris_style_transfer_tpu.ops.image import gamma_lut
 
     print("backend:", jax.default_backend(), flush=True)
