@@ -172,7 +172,9 @@ def build_ir_dataset(
     perspect_degree: float = 0.3,
     glint_threshold: float = 0.8,
     out_size: tuple[int, int] = (224, 224),
-    chunk: int = 8,  # RITnet at 400x640 holds ~50MB of activations per image
+    chunk: int = 32,  # ~50MB of RITnet activations per image; 32 is 1.5x
+    # the img/s of 8 on the real chip (tools/perf_probe19.py) and well
+    # under HBM
 ) -> tuple[np.ndarray, np.ndarray]:
     """IRDataset equivalent (``data_preprocessing.py:15-108``): per image,
     iris mask x glint mask -> crop -> resize 224^2 -> augment; batched on
@@ -233,7 +235,7 @@ def build_ist_dataset(
     ritnet_params: dict,
     glint_threshold: float = 0.8,
     out_size: tuple[int, int] = (224, 224),
-    chunk: int = 8,  # see build_ir_dataset
+    chunk: int = 32,  # see build_ir_dataset
 ) -> ISTDataset:
     """Per content image: RITnet seg, pre-NST IoUs vs GT, iris mask + bbox;
     cross-user style donor sampling + donor iris crop (``:160-199``)."""

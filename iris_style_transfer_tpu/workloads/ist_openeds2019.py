@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +39,7 @@ from ..transfer.nst import cached_nst_program
 from ..utils import prepare_dir, seed as seed_all, sweep_done, write_sweep_marker
 
 
-def make_programs(compute_dtype, seg_chunk: int = 8):
+def make_programs(compute_dtype, seg_chunk: int = 32):
     """Combo-independent jitted programs (pre/post classification, chunked
     re-segmentation) — build ONCE per process and pass to
     :func:`iris_style_transfer_openeds2019` via ``programs`` so the
@@ -106,6 +107,25 @@ def _save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def _batch_metric_job(metric_prefix, num_class, phase, yy, ys, p1v, p2v):
+    """Host-side per-batch classification metrics for one phase (pre/post).
+
+    Pure numpy on already-fetched arrays, so it runs on a single worker
+    thread OVERLAPPED with the next batch's device work — the 8-call
+    sklearn-parity block costs ~200 ms/batch on this host
+    (tools/perf_probe19.py), all of it hidden behind the NST scan."""
+    out = {}
+    for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
+        m = classification_metrics(lab, pred, num_class, auc_present_only=True)
+        out.update({f"{metric_prefix}{phase}/{nm}/batch/{k}": v for k, v in m.items()})
+    for nm, pred in (("c1", p1v), ("c2", p2v)):
+        m = classification_metrics(ys, pred, num_class, auc_present_only=True)
+        out.update(
+            {f"{metric_prefix}{phase}/{nm}/mis/batch/{k}": v for k, v in m.items()}
+        )
+    return out
+
+
 def _load_head(path: str | None, default):
     """Load classifier params from the *exact* checkpoint file named
     (reference: ``iris_style_transfer_openeds2019.py:234-241``), a
@@ -140,7 +160,7 @@ def iris_style_transfer_openeds2019(
     # chips beyond the batch axis work on slices of the same image
     nst_in = spatial_sharding(mesh) if n_model > 1 else None
     if programs is None:
-        programs = make_programs(compute_dtype, seg_chunk=8 * n_data)
+        programs = make_programs(compute_dtype, seg_chunk=32 * n_data)
     pre_fn, post_fn, post_seg = programs
     nst_fn = _nst_program(
         nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype,
@@ -156,8 +176,11 @@ def iris_style_transfer_openeds2019(
     }
     timer = StepTimer()
     # wall-clock per full batch body (staging + classify + NST + composite +
-    # re-seg + host metrics) — the BASELINE.json "full seg+NST pipeline"
-    # denominator, minus the one-off dataset-build seg stage the caller times
+    # re-seg) — the BASELINE.json "full seg+NST pipeline" denominator, minus
+    # the one-off dataset-build seg stage the caller times.  Host metric math
+    # runs on this worker, overlapped with the next batch's device work.
+    metric_pool = ThreadPoolExecutor(max_workers=1)
+    pending: list[tuple[dict, list]] = []
     pipe_times: list[float] = []
 
     batches = batch_iterator(
@@ -181,16 +204,14 @@ def iris_style_transfer_openeds2019(
         # batch metrics over valid rows only — padded rows duplicate the
         # last sample and would bias the final short batch
         # host-side gather keeps the jitted metric programs single-device
-        # (mesh-wide SPMD buys nothing on (B, K) logits)
+        # (mesh-wide SPMD buys nothing on (B, K) logits); the metric math
+        # itself runs on the worker pool, overlapped with device work
         yy = np.asarray(c_labels)[valid]
         ys = np.asarray(s_labels)[valid]
         p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
-        for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
-            m = classification_metrics(lab, pred, num_class, auc_present_only=True)
-            blog.update({f"{metric_prefix}pre/{nm}/batch/{k}": v for k, v in m.items()})
-        for nm, pred in (("c1", p1v), ("c2", p2v)):
-            m = classification_metrics(ys, pred, num_class, auc_present_only=True)
-            blog.update({f"{metric_prefix}pre/{nm}/mis/batch/{k}": v for k, v in m.items()})
+        futs = [metric_pool.submit(
+            _batch_metric_job, metric_prefix, num_class, "pre", yy, ys, p1v, p2v
+        )]
         agg["pre1"].append(np.asarray(p1)[valid]); agg["pre2"].append(np.asarray(p2)[valid])
         agg["c_labels"].append(np.asarray(c_labels)[valid])
         agg["s_labels"].append(np.asarray(s_labels)[valid])
@@ -217,12 +238,9 @@ def iris_style_transfer_openeds2019(
         )
         ious, miou = post_seg(ritnet_params, new_frames, stage(seg_gt))
         p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
-        for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
-            m = classification_metrics(lab, pred, num_class, auc_present_only=True)
-            blog.update({f"{metric_prefix}post/{nm}/batch/{k}": v for k, v in m.items()})
-        for nm, pred in (("c1", p1v), ("c2", p2v)):
-            m = classification_metrics(ys, pred, num_class, auc_present_only=True)
-            blog.update({f"{metric_prefix}post/{nm}/mis/batch/{k}": v for k, v in m.items()})
+        futs.append(metric_pool.submit(
+            _batch_metric_job, metric_prefix, num_class, "post", yy, ys, p1v, p2v
+        ))
         ious_np = np.asarray(ious)[:, valid]
         for c in range(4):
             blog[f"{metric_prefix}post/batch/iou{c}"] = float(np.nanmean(ious_np[c]))
@@ -233,8 +251,15 @@ def iris_style_transfer_openeds2019(
         if batch_id % save_period == 0:
             _save_png(f"{save_dir}batch_{batch_id}_new.png", np.asarray(new_frames[0]))
 
-        logger.log(blog)
+        pending.append((blog, futs))
         pipe_times.append(time.perf_counter() - t_batch)
+
+    # drain the deferred metric jobs in batch order (exceptions surface here)
+    for blog, futs in pending:
+        for f in futs:
+            blog.update(f.result())
+        logger.log(blog)
+    metric_pool.shutdown(wait=True)
 
     # epoch aggregation (:167-199)
     log = {}
@@ -336,7 +361,7 @@ def main():
         splits.append(("train/", train_x, train_y, train_m))
     results = {}
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    programs = make_programs(compute_dtype, seg_chunk=8 * n_data)
+    programs = make_programs(compute_dtype, seg_chunk=32 * n_data)
 
     for prefix, xs, ys_, ms in splits:
         dataset = build_ist_dataset(xs, ys_, ms, ritnet_params, cfg.glint_threshold)
