@@ -46,6 +46,16 @@ def _load():
                 ctypes.c_int,
                 ctypes.c_int,
             ]
+            if hasattr(lib, "istl_decode_batch_u8"):  # newer .so
+                lib.istl_decode_batch_u8.restype = ctypes.c_int
+                lib.istl_decode_batch_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                ]
             _LIB = lib
             return lib
     return None
@@ -56,36 +66,44 @@ def available() -> bool:
 
 
 def decode_gray_batch(
-    paths: list[str], height: int, width: int, threads: int = 8
+    paths: list[str], height: int, width: int, threads: int = 8, dtype=np.float32
 ) -> np.ndarray:
-    """Decode same-sized images to (N, H, W, 1) float32 [0,1].
+    """Decode same-sized images to (N, H, W, 1).
 
-    Uses the native threaded decoder when built, PIL otherwise.
+    ``dtype=np.float32`` gives [0,1] floats (historical behavior);
+    ``dtype=np.uint8`` keeps the files' native 8-bit depth — 4x smaller on
+    the host and across H2D, with the device programs dequantizing
+    losslessly (``ops/image.py:to_unit_float``).  Uses the native threaded
+    decoder when built, PIL otherwise.
     """
     lib = _load()
     n = len(paths)
-    if lib is not None:
-        out = np.empty((n, height, width), np.float32)
+    as_u8 = np.dtype(dtype) == np.uint8
+    if lib is not None and (not as_u8 or hasattr(lib, "istl_decode_batch_u8")):
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-        failures = lib.istl_decode_batch(
-            arr,
-            n,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            height,
-            width,
-            threads,
-        )
+        if as_u8:
+            out = np.empty((n, height, width), np.uint8)
+            failures = lib.istl_decode_batch_u8(
+                arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                height, width, threads,
+            )
+        else:
+            out = np.empty((n, height, width), np.float32)
+            failures = lib.istl_decode_batch(
+                arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                height, width, threads,
+            )
         if failures:
             raise IOError(f"native decode: {failures}/{n} files failed or mismatched size")
         return out[..., None]
 
     from PIL import Image
 
-    out = np.empty((n, height, width), np.float32)
+    out = np.empty((n, height, width), np.uint8 if as_u8 else np.float32)
     for i, p in enumerate(paths):
         img = Image.open(p).convert("L")
-        a = np.asarray(img, np.float32) / 255.0
+        a = np.asarray(img, np.uint8)
         if a.shape != (height, width):
             raise IOError(f"{p}: size {a.shape} != {(height, width)}")
-        out[i] = a
+        out[i] = a if as_u8 else a.astype(np.float32) / 255.0
     return out[..., None]

@@ -37,7 +37,9 @@ from ..models.ritnet import RITnet
 from ..ops.image import (
     crop_and_resize,
     nonzero_bbox,
+    pack_mask_bits,
     quantize_u8,
+    quantize_u16,
     to_unit_float,
     perspective_warp,
     random_perspective_params,
@@ -72,7 +74,9 @@ def load_data_openeds2019(
     seg_paths: list[str] | None = None,
 ):
     """Returns (train_x, train_y, train_m, test_x, test_y, test_m,
-    class_count); images are (H, W, 1) float32 [0,1] numpy arrays."""
+    class_count); images are (H, W, 1) uint8 numpy arrays (the files'
+    native depth — kept compact on host and across H2D; device programs
+    dequantize via ``ops.image.to_unit_float``, losslessly)."""
     from PIL import Image
 
     if image_paths is None:
@@ -111,7 +115,7 @@ def load_data_openeds2019(
         # probe dimensions once, then bulk-decode through the native
         # threaded loader (PIL fallback inside)
         h, w = np.asarray(Image.open(paths[0]).convert("L")).shape
-        arrs = decode_gray_batch(paths, h, w)
+        arrs = decode_gray_batch(paths, h, w, dtype=np.uint8)
         for i_path, arr in zip(names, arrs):
             if load_seg:
                 seg = np.load(os.path.join(m_folder, i_path[:-4] + ".npy"))
@@ -197,16 +201,20 @@ def build_ir_dataset(
             )(crops, keys)
         return crops
 
-    out = []
     n = len(xs)
+    # dispatch every chunk (async: H2D and compute pipeline behind the
+    # python loop), then ONE device-side concat + ONE fetch — each
+    # np.asarray costs ~150 ms of tunnel latency regardless of size
+    # (tools/perf_probe22.py), so per-chunk fetches are latency-bound
+    parts: list[jax.Array] = []
     for i in range(0, n, chunk):
         batch_list = xs[i : i + chunk]
         pad = chunk - len(batch_list)
         batch = quantize_u8(np.stack(batch_list + [batch_list[-1]] * pad))
         keys = jax.random.split(jax.random.fold_in(key, i), chunk)
-        crops = np.asarray(process(jnp.asarray(batch), keys))
-        out.append(crops[: len(batch_list)])
-    return np.concatenate(out), np.asarray(ys, np.int32)
+        parts.append(process(jnp.asarray(batch), keys))
+    crops = np.asarray(jnp.concatenate(parts))[:n] if parts else np.zeros((0,) + out_size + (1,), np.float32)
+    return crops, np.asarray(ys, np.int32)
 
 
 @dataclass
@@ -216,10 +224,10 @@ class ISTDataset:
 
     c_imgs: np.ndarray  # (N, H, W, 1) uint8 (dequantized on device)
     c_labels: np.ndarray  # (N,)
-    c_masks_iris: np.ndarray  # (N, H, W, 1) bool
+    c_masks_iris: np.ndarray  # (N, H, W//8, 1) uint8 bit-packed (unpack_mask_bits)
     c_iris_bbs: np.ndarray  # (N, 4)
     c_masks_gt: np.ndarray  # (N, H, W) uint8 class labels
-    s_irises: np.ndarray  # (N, 224, 224, 1)
+    s_irises: np.ndarray  # (N, 224, 224, 1) uint16 [0,1]-quantized (to_unit_float)
     s_labels: np.ndarray  # (N,)
     ious: np.ndarray  # (4, N) pre-NST per-class IoUs
     mious: np.ndarray  # (N,)
@@ -251,24 +259,28 @@ def build_ist_dataset(
         masked = batch * masks.astype(batch.dtype)
         bboxes = jax.vmap(lambda m: nonzero_bbox(m[..., 0]))(masked)
         crops = jax.vmap(lambda im, bb: crop_and_resize(im, bb, out_size))(masked, bboxes)
-        return ious, miou, masks, bboxes, crops
+        # compact D2H (the tunnel moves ~10 MB/s device->host,
+        # tools/perf_probe22.py): masks as bitfields (8x), crops as u16
+        # (2x, error 7.6e-6); the loop's programs unpack/dequantize
+        return ious, miou, pack_mask_bits(masks), bboxes, quantize_u16(crops)
 
-    all_masks, all_bbs, all_crops = [], [], []
-    all_ious, all_mious = [], []
+    # dispatch every chunk (async), then ONE device-side concat + ONE fetch
+    # per output — per-chunk np.asarray costs ~150 ms of tunnel latency
+    # each regardless of size (tools/perf_probe22.py); only the final chunk
+    # is padded, so the first n rows of each concatenation are the valid ones
+    parts: list[tuple] = []
     for i in range(0, n, chunk):
         batch_list = c_imgs[i : i + chunk]
         gt_list = c_masks_gt[i : i + chunk]
         pad = chunk - len(batch_list)
         batch = quantize_u8(np.stack(batch_list + [batch_list[-1]] * pad))
         gts = np.stack(gt_list + [gt_list[-1]] * pad).astype(np.uint8)
-        ious, miou, masks, bbs, crops = map(
-            np.asarray, process(jnp.asarray(batch), jnp.asarray(gts))
-        )
-        k = len(batch_list)
-        all_ious.append(ious[:, :k]); all_mious.append(miou[:k])
-        all_masks.append(masks[:k]); all_bbs.append(bbs[:k]); all_crops.append(crops[:k])
-
-    crops = np.concatenate(all_crops)
+        parts.append(process(jnp.asarray(batch), jnp.asarray(gts)))
+    ious = np.asarray(jnp.concatenate([p[0] for p in parts], axis=1))[:, :n]
+    mious = np.asarray(jnp.concatenate([p[1] for p in parts]))[:n]
+    masks = np.asarray(jnp.concatenate([p[2] for p in parts]))[:n]
+    bbs = np.asarray(jnp.concatenate([p[3] for p in parts]))[:n]
+    crops = np.asarray(jnp.concatenate([p[4] for p in parts]))[:n]
     # style donor: another user's masked iris crop (already computed above)
     s_idx = np.asarray([sample_other(l, c_labels) for l in c_labels])
     return ISTDataset(
@@ -276,11 +288,11 @@ def build_ist_dataset(
         # jitted programs dequantize (ops.image.to_unit_float) — lossless
         c_imgs=quantize_u8(np.stack(c_imgs)),
         c_labels=np.asarray(c_labels, np.int32),
-        c_masks_iris=np.concatenate(all_masks),
-        c_iris_bbs=np.concatenate(all_bbs),
+        c_masks_iris=masks,
+        c_iris_bbs=bbs,
         c_masks_gt=np.stack(c_masks_gt).astype(np.uint8),
         s_irises=crops[s_idx],
         s_labels=np.asarray(c_labels, np.int32)[s_idx],
-        ious=np.concatenate(all_ious, axis=1),
-        mious=np.concatenate(all_mious),
+        ious=ious,
+        mious=mious,
     )

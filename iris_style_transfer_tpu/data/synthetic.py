@@ -99,9 +99,13 @@ def synthetic_openeds2019(
     n_per_user: int = 6, num_users: int = 8, seed: int = 0, height: int = 400, width: int = 640
 ):
     """Shaped like ``load_data_openeds2019`` output: (train_x, train_y,
-    train_m, test_x, test_y, test_m, class_count) with an 80/20 split."""
+    train_m, test_x, test_y, test_m, class_count) with an 80/20 split —
+    including its uint8 image contract (same RNG stream as ever; the
+    float eyes are quantized at source so downstream builders and H2D
+    stay compact, as with real decoded data)."""
     n = n_per_user * num_users
     imgs, segs, users = synthetic_eye_batch(n, height, width, num_users, seed)
+    imgs = np.round(np.clip(imgs, 0.0, 1.0) * 255.0).astype(np.uint8)
     order = np.argsort(users, kind="stable")
     train_x, train_y, train_m, test_x, test_y, test_m = [], [], [], [], [], []
     for u in range(num_users):

@@ -39,6 +39,8 @@ def to_unit_float(x: jax.Array, dtype=jnp.float32) -> jax.Array:
     """
     if x.dtype == jnp.uint8:
         return x.astype(dtype) / 255.0
+    if x.dtype == jnp.uint16:  # see quantize_u16
+        return x.astype(dtype) / 65535.0
     return x
 
 
@@ -50,6 +52,40 @@ def quantize_u8(a):
     if a.dtype == _np.uint8:
         return a
     return _np.round(a * 255.0).astype(_np.uint8)
+
+
+def quantize_u16(x: jax.Array) -> jax.Array:
+    """[0,1] float -> uint16 (65536 levels, max error 7.6e-6 — two decades
+    below bf16's own rounding).  Halves D2H/H2D vs f32 for resampled crops,
+    which are NOT 8-bit-representable (bilinear blends of u8 levels)."""
+    return jnp.round(jnp.clip(x, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+
+
+def pack_mask_bits(m: jax.Array) -> jax.Array:
+    """(..., H, W, 1) bool -> (..., H, W//8, 1) uint8, LSB-first along W.
+
+    8x less device<->host traffic for full-res masks; :func:`unpack_mask_bits`
+    inverts on either side."""
+    *lead, h, w, c = m.shape
+    bits = m.astype(jnp.uint8).reshape(*lead, h, w // 8, 8, c)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)).reshape(8, 1)
+    return jnp.sum(bits * weights, axis=-2).astype(jnp.uint8)
+
+
+def unpack_mask_bits(p: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_mask_bits`: (..., H, W8, 1) u8 -> bool."""
+    *lead, h, w8, c = p.shape
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (p[..., :, None, :] >> shifts[None, :, None]) & jnp.uint8(1)
+    return bits.reshape(*lead, h, w8 * 8, c).astype(bool)
+
+
+def as_bool_mask(m: jax.Array) -> jax.Array:
+    """Accept either a bool/float mask or a bit-packed u8 mask (trace-time
+    dispatch on dtype, like :func:`to_unit_float`)."""
+    if m.dtype == jnp.uint8:
+        return unpack_mask_bits(m)
+    return m.astype(bool)
 
 
 def imagenet_normalize(x: jax.Array) -> jax.Array:

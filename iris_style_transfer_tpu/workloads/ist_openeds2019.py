@@ -29,7 +29,7 @@ import numpy as np
 from ..data import batch_iterator, build_ist_dataset, synthetic_openeds2019
 from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
-from ..ops.image import crop_and_resize, gray_to_rgb, to_unit_float
+from ..ops.image import as_bool_mask, crop_and_resize, gray_to_rgb, to_unit_float
 from ..ops.metrics import classification_metrics, iou_per_class
 from ..parallel import make_mesh, make_stager, shard_params, spatial_sharding
 from ..pipelines import composite_batch
@@ -47,6 +47,7 @@ def make_programs(compute_dtype, seg_chunk: int = 32):
     @jax.jit
     def pre_fn(vgg_params, c1, c2, c_imgs, masks, bboxes):
         c_imgs = to_unit_float(c_imgs)  # frames are staged uint8 (4x less H2D)
+        masks = as_bool_mask(masks)  # staged bit-packed (8x less H2D)
         masked = c_imgs * masks.astype(c_imgs.dtype)
         irises = jax.vmap(lambda im, bb: crop_and_resize(im, bb, (224, 224)))(masked, bboxes)
         irises = gray_to_rgb(irises)
@@ -56,6 +57,7 @@ def make_programs(compute_dtype, seg_chunk: int = 32):
     @jax.jit
     def post_fn(vgg_params, c1, c2, frames, stylized, masks, bboxes):
         frames = to_unit_float(frames)
+        masks = as_bool_mask(masks)  # staged bit-packed (8x less H2D)
         new_frames = composite_batch(frames, stylized, masks, bboxes)
         # re-crop the stylized iris at 224^2 for post-NST classification
         masked = new_frames * masks.astype(new_frames.dtype)
@@ -100,6 +102,8 @@ def _save_png(path: str, img: np.ndarray) -> None:
     img = np.asarray(img)
     if img.dtype == np.uint8:
         arr = img
+    elif img.dtype == np.uint16:  # u16-quantized [0,1] (ISTDataset crops)
+        arr = (img // 257).astype(np.uint8)
     else:
         arr = np.asarray(np.clip(img, 0, 1) * 255.0, np.uint8)
     if arr.ndim == 3:
@@ -220,7 +224,8 @@ def iris_style_transfer_openeds2019(
             _save_png(f"{save_dir}batch_{batch_id}_raw.png", np.asarray(c_imgs[0]))
             _save_png(f"{save_dir}batch_{batch_id}_sty.png", np.asarray(s_irises[0]))
 
-        s_rgb = gray_to_rgb(stage(s_irises))
+        # s_irises are stored u16-quantized (ISTDataset): dequantize on device
+        s_rgb = gray_to_rgb(to_unit_float(stage(s_irises)))
         if nst_in is not None:
             irises = jax.device_put(irises, nst_in)
             s_rgb = jax.device_put(s_rgb, nst_in)

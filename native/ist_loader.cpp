@@ -29,11 +29,21 @@ extern "C" {
 int istl_decode_gray(const char* path, float* out, int* out_h, int* out_w,
                      int max_h, int max_w);
 
+// Same, but raw 8-bit gray (the files' native depth) — no /255 convert.
+// Keeps host memory and host->device traffic 4x smaller; the device
+// programs dequantize (see ops/image.py:to_unit_float).
+int istl_decode_gray_u8(const char* path, uint8_t* out, int* out_h,
+                        int* out_w, int max_h, int max_w);
+
 // Decode `n` same-sized images in parallel into a contiguous
 // (n, h, w) float32 buffer. Files whose dimensions differ from (h, w)
 // fail. Returns the number of failures (0 == all good).
 int istl_decode_batch(const char** paths, int n, float* out, int h, int w,
                       int threads);
+
+// u8 batch variant of the above.
+int istl_decode_batch_u8(const char** paths, int n, uint8_t* out, int h,
+                         int w, int threads);
 }
 
 namespace {
@@ -48,7 +58,7 @@ constexpr double kGrayR = 0.299, kGrayG = 0.587, kGrayB = 0.114;
 // ones), all buffers that live across decode calls are raw malloc'd
 // pointers declared volatile and freed on both exits.
 
-int decode_png(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
+int decode_png(FILE* fp, uint8_t* out, int* out_h, int* out_w, int max_h,
                int max_w) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
@@ -107,14 +117,14 @@ int decode_png(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
 
   for (png_uint_32 y = 0; y < h; ++y) {
     const uint8_t* src = buf + (size_t)y * rowbytes;
-    float* dst = out + (size_t)y * w;
+    uint8_t* dst = out + (size_t)y * w;
     if (channels == 1) {
-      for (png_uint_32 x = 0; x < w; ++x) dst[x] = src[x] / 255.0f;
+      memcpy(dst, src, w);
     } else {  // RGB
       for (png_uint_32 x = 0; x < w; ++x) {
         const uint8_t* p = &src[(size_t)x * channels];
         double g = kGrayR * p[0] + kGrayG * p[1] + kGrayB * p[2];
-        dst[x] = (float)((uint8_t)(g + 0.5) / 255.0);
+        dst[x] = (uint8_t)(g + 0.5);
       }
     }
   }
@@ -135,7 +145,7 @@ void jpeg_error_trap(j_common_ptr cinfo) {
   longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
 }
 
-int decode_jpeg(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
+int decode_jpeg(FILE* fp, uint8_t* out, int* out_h, int* out_w, int max_h,
                 int max_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -174,8 +184,7 @@ int decode_jpeg(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
     int y = cinfo.output_scanline;
     uint8_t* rowp = row;
     jpeg_read_scanlines(&cinfo, &rowp, 1);
-    float* dst = out + (size_t)y * w;
-    for (int x = 0; x < w; ++x) dst[x] = row[x] / 255.0f;
+    memcpy(out + (size_t)y * w, row, w);
   }
   jpeg_finish_decompress(&cinfo);
   free(row);
@@ -193,8 +202,8 @@ int decode_jpeg(FILE* fp, float* out, int* out_h, int* out_w, int max_h,
 
 }  // namespace
 
-int istl_decode_gray(const char* path, float* out, int* out_h, int* out_w,
-                     int max_h, int max_w) {
+int istl_decode_gray_u8(const char* path, uint8_t* out, int* out_h,
+                        int* out_w, int max_h, int max_w) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return 1;
   uint8_t magic[4] = {0};
@@ -215,8 +224,26 @@ int istl_decode_gray(const char* path, float* out, int* out_h, int* out_w,
   return rc;
 }
 
-int istl_decode_batch(const char** paths, int n, float* out, int h, int w,
-                      int threads) {
+int istl_decode_gray(const char* path, float* out, int* out_h, int* out_w,
+                     int max_h, int max_w) {
+  // f32 view of the same decode: u8 core + one convert pass (identical
+  // values to the historical float path: u8/255.0f, RGB luma via u8)
+  uint8_t* tmp = (uint8_t*)malloc((size_t)max_h * max_w);
+  if (!tmp) return 2;
+  int rc = istl_decode_gray_u8(path, tmp, out_h, out_w, max_h, max_w);
+  if (rc == 0) {
+    size_t total = (size_t)(*out_h) * (size_t)(*out_w);
+    for (size_t i = 0; i < total; ++i) out[i] = tmp[i] / 255.0f;
+  }
+  free(tmp);
+  return rc;
+}
+
+namespace {
+
+template <typename T, typename DecodeFn>
+int decode_batch_impl(const char** paths, int n, T* out, int h, int w,
+                      int threads, DecodeFn decode_one) {
   if (threads < 1) threads = 1;
   std::atomic<int> next(0), failures(0);
   auto worker = [&]() {
@@ -224,8 +251,7 @@ int istl_decode_batch(const char** paths, int n, float* out, int h, int w,
       int i = next.fetch_add(1);
       if (i >= n) return;
       int ih = 0, iw = 0;
-      int rc = istl_decode_gray(paths[i], out + (size_t)i * h * w, &ih, &iw,
-                                h, w);
+      int rc = decode_one(paths[i], out + (size_t)i * h * w, &ih, &iw, h, w);
       if (rc != 0 || ih != h || iw != w) failures.fetch_add(1);
     }
   };
@@ -233,4 +259,17 @@ int istl_decode_batch(const char** paths, int n, float* out, int h, int w,
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return failures.load();
+}
+
+}  // namespace
+
+int istl_decode_batch(const char** paths, int n, float* out, int h, int w,
+                      int threads) {
+  return decode_batch_impl(paths, n, out, h, w, threads, istl_decode_gray);
+}
+
+int istl_decode_batch_u8(const char** paths, int n, uint8_t* out, int h,
+                         int w, int threads) {
+  return decode_batch_impl(paths, n, out, h, w, threads,
+                           istl_decode_gray_u8);
 }

@@ -116,6 +116,32 @@ def test_matmul_resize_matches_gather_path():
         assert np.abs(a_paste - b_paste).max() < 1e-5, bb
 
 
+def test_mask_bitpack_and_u16_roundtrip():
+    from iris_style_transfer_tpu.ops.image import (
+        as_bool_mask,
+        pack_mask_bits,
+        quantize_u16,
+        to_unit_float,
+        unpack_mask_bits,
+    )
+
+    rng = np.random.default_rng(3)
+    m = rng.random((2, 40, 64, 1)) > 0.5
+    p = pack_mask_bits(jnp.asarray(m))
+    assert p.shape == (2, 40, 8, 1) and p.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(unpack_mask_bits(p)), m)
+    # as_bool_mask dispatches on dtype: packed u8, bool, float all work
+    np.testing.assert_array_equal(np.asarray(as_bool_mask(p)), m)
+    np.testing.assert_array_equal(np.asarray(as_bool_mask(jnp.asarray(m))), m)
+    np.testing.assert_array_equal(
+        np.asarray(as_bool_mask(jnp.asarray(m, jnp.float32))), m
+    )
+    # u16 quantize: max error bounded by half a level
+    x = rng.random((33, 17, 1)).astype(np.float32)
+    back = np.asarray(to_unit_float(quantize_u16(jnp.asarray(x))))
+    assert np.abs(back - x).max() <= 0.5 / 65535 + 1e-9
+
+
 def test_gamma_direct_matches_lut_exhaustively():
     # the gather-free gamma must equal the reference's uint8-truncated
     # 256-entry LUT (255*linspace(0,1,256)**g).astype(uint8) at EVERY level

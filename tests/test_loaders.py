@@ -66,9 +66,8 @@ def test_load_openeds2019_split_semantics(fake_openeds2019):
     assert len(te_x) == 2 and len(tr_x) == 12
     # labels are contiguous class ids
     assert set(tr_y) | set(te_y) == {0, 1, 2}
-    # images float [0,1] with channel dim; seg labels loaded
-    assert tr_x[0].shape == (40, 60, 1) and tr_x[0].dtype == np.float32
-    assert 0.0 <= tr_x[0].min() and tr_x[0].max() <= 1.0
+    # images uint8 (native file depth) with channel dim; seg labels loaded
+    assert tr_x[0].shape == (40, 60, 1) and tr_x[0].dtype == np.uint8
     assert tr_m[0].shape == (40, 60)
 
 

@@ -41,6 +41,15 @@ def test_native_decode_matches_pil(image_files):
     np.testing.assert_allclose(got[:6], want[:6], atol=1e-6)
 
 
+def test_u8_decode_matches_f32(image_files):
+    # dtype=uint8 must be the same decode without the /255 (native or PIL)
+    paths = [p for p, _ in image_files]
+    f = native_loader.decode_gray_batch(paths, 64, 80)[..., 0]
+    u = native_loader.decode_gray_batch(paths, 64, 80, dtype=np.uint8)[..., 0]
+    assert u.dtype == np.uint8
+    np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))
+
+
 def test_pil_fallback_path(image_files, monkeypatch):
     monkeypatch.setattr(native_loader, "_load", lambda: None)
     paths = [p for p, _ in image_files[:3]]
