@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.image import to_unit_float
 from .native_loader import decode_gray_batch
 
 
@@ -34,8 +35,9 @@ def load_data_openeds2020(
     compute_dtype=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (images-or-features, gaze labels).  Images are (N, 400, 640,
-    1) float32; features are (N, 19) landmarks (estimator 1) or (N, 2048)
-    ResNet features (estimator 2).
+    1) uint8 (native file depth; device programs dequantize via
+    ``ops.image.to_unit_float``); features are (N, 19) landmarks
+    (estimator 1) or (N, 2048) ResNet features (estimator 2).
 
     The sequence walk and label-parsing rules (sorted dirs, drop index
     column, the test-set 5-extra-rows tolerance) live in ONE place,
@@ -52,6 +54,7 @@ def load_data_openeds2020(
 
             @jax.jit
             def extract(batch):
+                batch = to_unit_float(batch)  # frames decode as uint8
                 # bf16 B7 is +16% images/s with identical argmax labels
                 # (tools/perf_probe13.py)
                 segs = EfficientNet.apply(
@@ -65,7 +68,7 @@ def load_data_openeds2020(
 
             @jax.jit
             def extract(batch):
-                rgb = jnp.repeat(batch, 3, axis=-1)
+                rgb = jnp.repeat(to_unit_float(batch), 3, axis=-1)
                 return ResNet50.apply(
                     resnet_params, rgb, compute_dtype=compute_dtype or jnp.float32
                 )
@@ -96,7 +99,8 @@ def load_data_openeds2020(
     from .prefetch import background
 
     decoded = background(
-        (decode_gray_batch(paths, dims[0], dims[1]) for paths in seq_paths), size=2
+        (decode_gray_batch(paths, dims[0], dims[1], dtype=np.uint8) for paths in seq_paths),
+        size=2,
     )
     for arrs in decoded:
         if extract_feature:
@@ -155,8 +159,8 @@ def stream_openeds2020(
     buffer_batches: int = 4,
     stats: dict | None = None,
 ):
-    """Stream a split as (images (B, H, W, 1), labels (B, 3), valid (B,))
-    batches — the OpenEDS2020 sets hold up to 550K frames
+    """Stream a split as (images (B, H, W, 1) uint8, labels (B, 3),
+    valid (B,)) batches — the OpenEDS2020 sets hold up to 550K frames
     (``appendix.pdf`` Table 5), far beyond what the reference's eager
     materialization (``data_preprocessing.py:385-417``) allows on modest
     hosts.  Sequences are decoded lazily through the native threaded
@@ -243,7 +247,7 @@ def stream_openeds2020(
 
     def decoded():
         for si in order:
-            yield si, decode_gray_batch(seq_paths[si], dims[0], dims[1])
+            yield si, decode_gray_batch(seq_paths[si], dims[0], dims[1], dtype=np.uint8)
 
     for si, frames in background(decoded(), size=1):
         buf_imgs.extend(frames)

@@ -31,6 +31,7 @@ from ..models import (
     load_pretrained,
     pretrained_path,
 )
+from ..ops.image import to_unit_float
 from ..ops.ellipse import extract_eye_landmarks
 from ..ops.metrics import angular_distance, cosine_embedding_loss
 from ..parallel import make_mesh
@@ -62,6 +63,7 @@ def make_steps(estimator: int, optimizer, compute_dtype=jnp.float32):
     extract = estimator == 2  # estimator2 owns a trainable ResNet (:59)
 
     def loss_fn(params, x, y, key):
+        x = to_unit_float(x)  # raw frames stream as uint8 (4x less host RAM/H2D)
         if estimator == 1:
             o = GazeEstimator1.apply(params, x, train=True, dropout_key=key)
         else:
@@ -81,6 +83,7 @@ def make_steps(estimator: int, optimizer, compute_dtype=jnp.float32):
 
     @jax.jit
     def eval_step(params, x):
+        x = to_unit_float(x)  # see loss_fn
         if estimator == 1:
             return GazeEstimator1.apply(params, x)
         return GazeEstimator2.apply(params, x, extract_feature=extract,

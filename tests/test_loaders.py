@@ -195,8 +195,12 @@ def fake_openeds2020_large(tmp_path):
 
 
 def _frame_ids(imgs):
-    hi = np.rint(imgs[:, 0, 0, 0] * 255).astype(int)
-    lo = np.rint(imgs[:, 0, 1, 0] * 255).astype(int)
+    if imgs.dtype == np.uint8:  # streams now yield native 8-bit frames
+        hi = imgs[:, 0, 0, 0].astype(int)
+        lo = imgs[:, 0, 1, 0].astype(int)
+    else:
+        hi = np.rint(imgs[:, 0, 0, 0] * 255).astype(int)
+        lo = np.rint(imgs[:, 0, 1, 0] * 255).astype(int)
     return hi * 256 + lo
 
 
@@ -223,7 +227,9 @@ def test_stream_shuffled_bounded_two_epochs(fake_openeds2020_large):
             assert valid.all()
             seen.append(_frame_ids(imgs))
             # a real (tiny) train step, proving the loop trains end to end
-            x = imgs.reshape(bs, -1).astype(np.float32)
+            # (dequantize exactly as the consuming programs do:
+            # ops.image.to_unit_float)
+            x = imgs.reshape(bs, -1).astype(np.float32) / 255.0
             y = labs[:, 0]
             grads = 2 * x.T @ (x @ w - y) / bs
             updates, opt_state = opt.update(grads, opt_state)
