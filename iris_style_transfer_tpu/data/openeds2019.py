@@ -182,7 +182,10 @@ def build_ir_dataset(
 ) -> tuple[np.ndarray, np.ndarray]:
     """IRDataset equivalent (``data_preprocessing.py:15-108``): per image,
     iris mask x glint mask -> crop -> resize 224^2 -> augment; batched on
-    device in chunks.  Returns (N, 224, 224, 1) float32 + (N,) int32."""
+    device in chunks.  Returns (N, 224, 224, 1) uint16 crops in
+    [0,1]-quantized form (dequantize with ``ops.image.to_unit_float``;
+    max error 7.6e-6 — this halves the D2H fetch and every training
+    epoch's H2D staging) + (N,) int32 labels."""
     assert len(xs) == len(ys)
 
     @jax.jit
@@ -199,7 +202,7 @@ def build_ir_dataset(
                     im, k, rotation_prob, rotation_degree, perspect_prob, perspect_degree
                 )
             )(crops, keys)
-        return crops
+        return quantize_u16(crops)
 
     n = len(xs)
     # dispatch every chunk (async: H2D and compute pipeline behind the
@@ -213,7 +216,7 @@ def build_ir_dataset(
         batch = quantize_u8(np.stack(batch_list + [batch_list[-1]] * pad))
         keys = jax.random.split(jax.random.fold_in(key, i), chunk)
         parts.append(process(jnp.asarray(batch), keys))
-    crops = np.asarray(jnp.concatenate(parts))[:n] if parts else np.zeros((0,) + out_size + (1,), np.float32)
+    crops = np.asarray(jnp.concatenate(parts))[:n] if parts else np.zeros((0,) + out_size + (1,), np.uint16)
     return crops, np.asarray(ys, np.int32)
 
 

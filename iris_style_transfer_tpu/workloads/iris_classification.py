@@ -27,7 +27,7 @@ import optax
 from ..data import batch_iterator, build_ir_dataset, prefetch_to_device, synthetic_openeds2019
 from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
-from ..ops.image import gray_to_rgb
+from ..ops.image import gray_to_rgb, to_unit_float
 from ..ops.metrics import classification_metrics, cross_entropy
 from ..parallel import make_mesh, mlp_tp_spec, shard_params
 from ..runtime import MetricLogger, StepTimer, restore_state, save_checkpoint, save_state
@@ -47,7 +47,7 @@ def make_train_step(freeze_vgg: bool, optimizer, compute_dtype):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(train_params, opt_state, frozen_vgg, x, y, key):
-        x = gray_to_rgb(x)
+        x = gray_to_rgb(to_unit_float(x))  # crops stage u16 (2x less H2D)
         (loss, (p1, p2)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             train_params, frozen_vgg, x, y, key
         )
@@ -58,7 +58,7 @@ def make_train_step(freeze_vgg: bool, optimizer, compute_dtype):
     @jax.jit
     def eval_step(train_params, frozen_vgg, x):
         vgg_params = train_params.get("vgg", frozen_vgg)
-        x = gray_to_rgb(x)
+        x = gray_to_rgb(to_unit_float(x))
         final, _, style = VGG19.apply(vgg_params, x, compute_dtype=compute_dtype)
         p1 = Classifier1.apply(train_params["c1"], final)
         p2 = Classifier2.apply(train_params["c2"], style)
@@ -153,15 +153,19 @@ def iris_classification(cfg: WorkloadConfig, vgg_weights: str = "") -> dict:
             m = classification_metrics(yy, pred, num_class)
             log.update({f"train/{name}/{k}": v for k, v in m.items()})
 
-        preds1, preds2, labels = [], [], []
+        preds1, preds2, labels, valids = [], [], [], []
         for batch in prefetch_to_device(batch_iterator((te_x, te_y), cfg.bs), mesh=mesh):
             x, y = batch[0], batch[1]
             valid = batch[2] if len(batch) > 2 else np.ones(len(y), bool)
             p1, p2 = eval_step(train_params, vgg_frozen, x)
-            preds1.append(np.asarray(p1)[valid]); preds2.append(np.asarray(p2)[valid])
-            labels.append(np.asarray(y)[valid])
-        p1 = np.concatenate(preds1); p2 = np.concatenate(preds2)
-        yy = np.concatenate(labels)
+            # keep logits on device; ONE gather per epoch (each np.asarray
+            # costs ~150 ms of tunnel latency, tools/perf_probe22.py)
+            preds1.append(p1); preds2.append(p2)
+            labels.append(np.asarray(y)); valids.append(valid)
+        valid = np.concatenate(valids)
+        p1 = np.concatenate(jax.device_get(preds1))[valid]
+        p2 = np.concatenate(jax.device_get(preds2))[valid]
+        yy = np.concatenate(labels)[valid]
         for name, pred in (("c1", p1), ("c2", p2)):
             m = classification_metrics(yy, pred, num_class)
             log.update({f"test/{name}/{k}": v for k, v in m.items()})
