@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +143,10 @@ def iris_style_transfer_openeds2020(
     agg = {"pre1": [], "pre2": [], "post1": [], "post2": [], "labels": [],
            "c_loss": [], "s_loss": []}
     timer = StepTimer()
+    # wall-clock per full batch body (stage + B7 seg + both estimators + NST
+    # + composite + re-seg + metrics) — the full-pipeline denominator,
+    # mirroring ist_openeds2019.py's ``pipeline_images_per_min``
+    pipe_times: list[float] = []
 
     def _save_png(path, img):
         from PIL import Image
@@ -159,6 +164,7 @@ def iris_style_transfer_openeds2020(
     else:
         batches = batch_iterator((images, labels), cfg.bs, pad_final=True)
     for batch_id, batch in enumerate(batches):
+        t_batch = time.perf_counter()
         c_imgs, labs = batch[0], batch[1]
         valid = batch[2] if len(batch) > 2 else np.ones(len(labs), bool)
         blog = {}
@@ -211,6 +217,7 @@ def iris_style_transfer_openeds2020(
         if batch_id % save_period == 0:
             _save_png(f"{save_dir}batch_{batch_id}_new.png", new_frames[0])
         logger.log(blog)
+        pipe_times.append(time.perf_counter() - t_batch)
 
     log = {}
     labels_all = np.concatenate(agg["labels"]); np.save(f"{save_dir}labels.npy", labels_all)
@@ -226,6 +233,11 @@ def iris_style_transfer_openeds2020(
     log[f"{metric_prefix}/s_loss"] = s_loss
     log[f"{metric_prefix}/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
     log[f"{metric_prefix}/stylized_images_per_min"] = timer.per_sec(cfg.bs) * 60
+    # end-to-end: exclude the first (compile-dominated) batch when there is
+    # more than one, mirroring StepTimer's convention
+    pipe = pipe_times[1:] if len(pipe_times) > 1 else pipe_times
+    if pipe:
+        log[f"{metric_prefix}/pipeline_images_per_min"] = cfg.bs * len(pipe) / sum(pipe) * 60
     logger.log(log)
     return log
 
