@@ -257,7 +257,7 @@ def build_ist_dataset(
     def process(batch, seg_gt):
         batch = to_unit_float(batch)  # staged uint8 (4x less H2D)
         seg = RITnet.apply(ritnet_params, batch)
-        ious, miou = iou_per_class(seg, seg_gt)
+        ious, _ = iou_per_class(seg, seg_gt)  # miou re-derived on host
         masks = iris_mask_from_seg(seg, batch, glint_threshold)
         masked = batch * masks.astype(batch.dtype)
         bboxes = jax.vmap(lambda m: nonzero_bbox(m[..., 0]))(masked)
@@ -265,7 +265,7 @@ def build_ist_dataset(
         # compact D2H (the tunnel moves ~10 MB/s device->host,
         # tools/perf_probe22.py): masks as bitfields (8x), crops as u16
         # (2x, error 7.6e-6); the loop's programs unpack/dequantize
-        return ious, miou, pack_mask_bits(masks), bboxes, quantize_u16(crops)
+        return ious, pack_mask_bits(masks), bboxes, quantize_u16(crops)
 
     # dispatch every chunk (async), then ONE device-side concat + ONE fetch
     # per output — per-chunk np.asarray costs ~150 ms of tunnel latency
@@ -280,10 +280,14 @@ def build_ist_dataset(
         gts = np.stack(gt_list + [gt_list[-1]] * pad).astype(np.uint8)
         parts.append(process(jnp.asarray(batch), jnp.asarray(gts)))
     ious = np.asarray(jnp.concatenate([p[0] for p in parts], axis=1))[:, :n]
-    mious = np.asarray(jnp.concatenate([p[1] for p in parts]))[:n]
-    masks = np.asarray(jnp.concatenate([p[2] for p in parts]))[:n]
-    bbs = np.asarray(jnp.concatenate([p[3] for p in parts]))[:n]
-    crops = np.asarray(jnp.concatenate([p[4] for p in parts]))[:n]
+    # miou is the plain class-mean of the per-class IoUs (ops/metrics.py:
+    # iou_per_class) — re-deriving it here drops one of the five D2H
+    # streams (round-3 VERDICT weak #6); f32 accumulation keeps it
+    # bit-comparable to the on-device mean
+    mious = np.mean(ious, axis=0, dtype=np.float32)
+    masks = np.asarray(jnp.concatenate([p[1] for p in parts]))[:n]
+    bbs = np.asarray(jnp.concatenate([p[2] for p in parts]))[:n]
+    crops = np.asarray(jnp.concatenate([p[3] for p in parts]))[:n]
     # style donor: another user's masked iris crop (already computed above)
     s_idx = np.asarray([sample_other(l, c_labels) for l in c_labels])
     return ISTDataset(

@@ -17,11 +17,16 @@ numbers are not scientific without the real weights, see PARITY.md).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from .port import load_npz
 
 WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+MANIFEST_PATH = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "tools", "weights_manifest.json")
+)
 
 # auto-discovery filenames under models/weights/
 DEFAULT_NAMES = {
@@ -38,6 +43,62 @@ def pretrained_path(kind: str) -> str | None:
     return path if os.path.exists(path) else None
 
 
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def _manifest_entry(kind: str) -> dict | None:
+    try:
+        with open(MANIFEST_PATH) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
+        return None
+    for a in manifest.get("artifacts", []):
+        if a.get("kind") == kind:
+            return a
+    return None
+
+
+def verify_manifest_checksum(kind: str, path: str) -> None:
+    """Validate an auto-discovery npz against the ``npz_sha256`` recorded
+    in tools/weights_manifest.json (written by ``record_npz_checksum`` when
+    ``tools/fetch_and_port.sh`` ports the artifact).  A manually-dropped or
+    corrupted npz fails loudly instead of silently skewing the science; an
+    entry without a recorded checksum (nothing ported yet) passes."""
+    entry = _manifest_entry(kind)
+    want = (entry or {}).get("npz_sha256")
+    if not want:
+        return
+    got = _sha256(path)
+    if got != want:
+        raise ValueError(
+            f"{kind} weights at {path} fail the manifest checksum "
+            f"(sha256 {got[:12]}… != recorded {want[:12]}…). Re-port with "
+            "tools/fetch_and_port.sh, or update tools/weights_manifest.json "
+            "if the npz was replaced deliberately."
+        )
+
+
+def record_npz_checksum(kind: str, path: str) -> None:
+    """Record ``path``'s sha256 as the manifest's ``npz_sha256`` for
+    ``kind`` (called by tools/fetch_and_port.sh after a successful port)."""
+    with open(MANIFEST_PATH) as f:
+        manifest = json.load(f)
+    for a in manifest.get("artifacts", []):
+        if a.get("kind") == kind:
+            a["npz_sha256"] = _sha256(path)
+            break
+    else:
+        raise KeyError(f"no manifest artifact entry for kind={kind}")
+    with open(MANIFEST_PATH, "w") as f:
+        json.dump(manifest, f, indent=2)
+        f.write("\n")
+
+
 def load_pretrained(kind: str, explicit_path: str = "", init_fn=None):
     """Load ported pretrained params for ``kind``.
 
@@ -52,6 +113,7 @@ def load_pretrained(kind: str, explicit_path: str = "", init_fn=None):
         return load_npz(explicit_path)
     path = pretrained_path(kind)
     if path is not None:
+        verify_manifest_checksum(kind, path)
         print(f"[weights] {kind} <- {path} (auto-discovered)")
         return load_npz(path)
     if init_fn is None:

@@ -33,11 +33,11 @@ whose sum/sumsq form lives in ``ops/losses.py:style_stats``.
 Sharding caveat (same as :mod:`pallas_gram` / :mod:`pallas_pool`): a
 ``pallas_call`` has no SPMD partitioning rule, so under a mesh with
 SHARDED operands (e.g. spatial NST with ``--model_parallel > 1``) XLA
-must replicate around it — correct but slow.  The multi-device
-equivalence tests run on the CPU backend where ``supported()`` is False,
-i.e. they validate the composed-XLA fallback's sharded math, not this
-kernel under sharding; measure on real multi-chip hardware before
-combining ``stats_taps`` with spatial parallelism.
+must replicate around it — correct but slow.  This is ENFORCED, not
+just documented: ``transfer.nst.make_nst_fn(model_sharded=True)``
+resolves both Pallas gates to their numerically-identical XLA forms
+(tests/test_pallas_gates.py), and the IST workloads pass
+``model_sharded=n_model > 1``.
 """
 
 from __future__ import annotations

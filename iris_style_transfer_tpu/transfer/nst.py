@@ -68,12 +68,24 @@ def make_nst_fn(
     compute_dtype=jnp.float32,
     adam_b1: float = 0.9,
     adam_b2: float = 0.999,
+    model_sharded: bool = False,
 ):
     """Build a jittable ``fn(vgg_params, c_img, s_img, noise_key) ->
     NSTResult``.  Flags mirror ``nst()``'s signature (``pipelines.py:8-19``);
     ``history_every=k`` stores every k-th image snapshot (0 = none) instead
     of the reference's every-closure host copy.
+
+    ``model_sharded=True`` declares that the images will arrive H-sharded
+    over a ``model`` mesh axis (``parallel.spatial_sharding``).  The Pallas
+    kernels (blockwise Gram, fused relu+stats) have no SPMD partitioning
+    rule, so under a model-sharded mesh XLA would replicate their operands
+    around the ``pallas_call`` — correct but a silent perf cliff.  Both
+    kernels are numerically identical to their XLA forms, so the sharded
+    path always takes the XLA form, even when explicitly requested.
     """
+    if model_sharded:
+        pallas_gram = False
+        stats_taps = False
 
     # pack_batch: run the whole optimization with the batch stacked on the
     # channel axis ((B, H, W, 3) -> (1, H, W, B*3), g-group convs).
@@ -302,6 +314,7 @@ def cached_nst_program(
     history_size: int = 10,
     pallas_gram: str = "auto",
     stats_taps: str = "auto",
+    model_sharded: bool = False,
 ):
     """The jitted production NST program keyed on the WorkloadConfig perf
     knobs — one builder shared by both IST workload mains so the two
@@ -316,7 +329,7 @@ def cached_nst_program(
         stats_taps = "on" if _L.STATS_TAPS else "off"
     return _cached_nst_program(
         nst_epochs, c_w, s_w, compute_dtype_name,
-        scan_unroll, history_size, pallas_gram, stats_taps,
+        scan_unroll, history_size, pallas_gram, stats_taps, model_sharded,
     )
 
 
@@ -330,6 +343,7 @@ def _cached_nst_program(
     history_size: int,
     pallas_gram: str,
     stats_taps: str,
+    model_sharded: bool = False,
 ):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     pg = {"auto": "auto", "on": True, "off": False}[pallas_gram]
@@ -345,5 +359,6 @@ def _cached_nst_program(
             pallas_gram=pg,
             stats_taps=st,
             lbfgs_dtype=jnp.bfloat16,
+            model_sharded=model_sharded,
         )
     )

