@@ -226,6 +226,17 @@ def main():
         "t_primary_done_s": round(time.monotonic() - T0, 1),
     }
 
+    # banded A100 full-pipeline baseline (tools/measure_reference_pipeline.py
+    # — MODELED from the reference's code structure with CPU-validated host
+    # terms, not an A100 measurement; carried here so every bench artifact
+    # shows the north-star denominator next to the measured numbers)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tools", "a100_pipeline_baseline.json")) as f:
+            extra["a100_pipeline_baseline"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+
     def save_extra():
         try:
             with open(os.path.join(os.path.dirname(__file__), "BENCH_extra.json"), "w") as f:

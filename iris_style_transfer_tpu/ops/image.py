@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ImageNet normalization constants used *inside* model forwards, matching the
 # reference (``models/vgg/vgg.py:63-67``, ``models/resnet/resnet.py:30-34``).
@@ -78,6 +79,37 @@ def unpack_mask_bits(p: jax.Array) -> jax.Array:
     shifts = jnp.arange(8, dtype=jnp.uint8)
     bits = (p[..., :, None, :] >> shifts[None, :, None]) & jnp.uint8(1)
     return bits.reshape(*lead, h, w8 * 8, c).astype(bool)
+
+
+def pack_labels2(seg):
+    """(..., H, W) uint8 class labels < 4 -> (..., H, W//4) uint8, 2 bits
+    per label LSB-first along W.  Host-side (numpy) packing for the 4-class
+    OpenEDS GT maps: 4x less H2D than raw u8 labels (the tunnel moves
+    ~10-30 MB/s, tools/perf_probe22.py).  :func:`unpack_labels2` inverts
+    on device."""
+    xp = jnp if isinstance(seg, jax.Array) else np
+    *lead, h, w = seg.shape
+    quads = seg.astype(xp.uint8).reshape(*lead, h, w // 4, 4)
+    weights = (xp.uint8(1) << (2 * xp.arange(4, dtype=xp.uint8)))
+    return (quads * weights).sum(axis=-1).astype(xp.uint8)
+
+
+def unpack_labels2(p: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_labels2`: (..., H, W4) u8 -> (..., H, 4*W4)
+    uint8 labels in [0, 4)."""
+    *lead, h, w4 = p.shape
+    shifts = 2 * jnp.arange(4, dtype=jnp.uint8)
+    quads = (p[..., :, None] >> shifts) & jnp.uint8(3)
+    return quads.reshape(*lead, h, w4 * 4)
+
+
+def as_label_map(gt: jax.Array, width: int) -> jax.Array:
+    """Accept either a raw (..., H, W) label map or a 2-bit packed
+    (..., H, W//4) one (trace-time dispatch on the trailing extent,
+    like :func:`as_bool_mask`)."""
+    if gt.shape[-1] * 4 == width:
+        return unpack_labels2(gt)
+    return gt
 
 
 def as_bool_mask(m: jax.Array) -> jax.Array:

@@ -24,7 +24,11 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
             "jax_compilation_cache_dir",
             cache_dir or os.path.join(_REPO_ROOT, "saved", "xla_cache"),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        # 2 s (was 10): the IST build's eager ops (concats, the donor
+        # gather) each compile in 1-9 s on this 1-core host and were
+        # re-paid EVERY process start — ~13 s of the measured dataset-build
+        # wall (round-4 probe: warm build 5.0 s vs first build 19.2 s)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception as e:
         # best-effort, but never silent: without the cache every run pays
         # minutes of XLA time per program on this 1-core host

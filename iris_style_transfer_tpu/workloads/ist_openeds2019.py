@@ -29,7 +29,7 @@ import numpy as np
 from ..data import batch_iterator, build_ist_dataset, synthetic_openeds2019
 from ..data.openeds2019 import load_data_openeds2019
 from ..models import Classifier1, Classifier2, RITnet, VGG19, load_pretrained
-from ..ops.image import as_bool_mask, crop_and_resize, gray_to_rgb, to_unit_float
+from ..ops.image import as_bool_mask, as_label_map, crop_and_resize, gray_to_rgb, to_unit_float
 from ..ops.metrics import classification_metrics, iou_per_class
 from ..parallel import make_mesh, make_stager, shard_params, spatial_sharding
 from ..pipelines import composite_batch
@@ -73,24 +73,32 @@ def make_programs(compute_dtype, seg_chunk: int = 32):
         # RITnet at full 400x640 resolution holds ~50MB activations/image —
         # run in its own program so the caller can chunk it
         seg = RITnet.apply(ritnet_params, new_frames)
+        seg_gt = as_label_map(seg_gt, seg.shape[-1])  # 2-bit packed or raw
         ious, _ = iou_per_class(seg, seg_gt)  # miou re-derived on host
         return ious
 
     def post_seg(ritnet_params, new_frames, seg_gt, chunk: int | None = None):
+        """Dispatch the chunked re-segmentation; returns the DEVICE-side
+        per-chunk IoU parts (fetch with :func:`fetch_seg_ious` — the caller
+        overlaps that tunnel round trip on its metric worker)."""
         chunk = chunk or seg_chunk
         parts = []
         n = new_frames.shape[0]
         for i in range(0, n, chunk):
             parts.append(seg_iou_fn(ritnet_params, new_frames[i : i + chunk], seg_gt[i : i + chunk]))
-        # host-side concat: chunk results are mesh-sharded, and an eager
-        # device-side concatenate would dispatch an extra SPMD program for
-        # what the caller immediately np.asarray's anyway.  miou is the
-        # class-mean of the per-class IoUs — re-deriving it on host halves
-        # the per-chunk D2H streams (round-3 VERDICT weak #6)
-        ious = np.concatenate([np.asarray(jax.device_get(p)) for p in parts], axis=1)
-        return ious, np.mean(ious, axis=0, dtype=np.float32)
+        return parts
 
     return pre_fn, post_fn, post_seg
+
+
+def fetch_seg_ious(parts) -> tuple[np.ndarray, np.ndarray]:
+    """Host side of :func:`post_seg`: per-chunk fetch + concat.  Host-side
+    concat because chunk results are mesh-sharded (an eager device-side
+    concatenate would dispatch an extra SPMD program); miou is the
+    class-mean of the per-class IoUs, re-derived on host (halves the
+    per-chunk D2H streams, round-3 VERDICT weak #6)."""
+    ious = np.concatenate([np.asarray(jax.device_get(p)) for p in parts], axis=1)
+    return ious, np.mean(ious, axis=0, dtype=np.float32)
 
 
 # the jitted NST program builder is shared with the 2019/2020 twin
@@ -113,13 +121,15 @@ def _save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
-def _batch_metric_job(metric_prefix, num_class, phase, yy, ys, p1v, p2v):
-    """Host-side per-batch classification metrics for one phase (pre/post).
-
-    Pure numpy on already-fetched arrays, so it runs on a single worker
-    thread OVERLAPPED with the next batch's device work — the 8-call
-    sklearn-parity block costs ~200 ms/batch on this host
-    (tools/perf_probe19.py), all of it hidden behind the NST scan."""
+def _batch_metric_job(metric_prefix, num_class, phase, yy, ys, valid, p1, p2):
+    """Per-batch classification metrics for one phase (pre/post), on the
+    single metric worker thread, OVERLAPPED with the next batch's device
+    work.  The job takes the DEVICE logits and does the D2H fetch itself:
+    each tunnel fetch costs ~150 ms of latency (tools/perf_probe22.py) and
+    the 8-call sklearn-parity block ~200 ms (tools/perf_probe19.py) — all
+    of it hidden behind the ~9 s NST scan instead of serializing the
+    dispatch path.  Returns (log-dict, agg-dict) for the ordered drain."""
+    p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
     out = {}
     for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
         m = classification_metrics(lab, pred, num_class, auc_present_only=True)
@@ -129,7 +139,31 @@ def _batch_metric_job(metric_prefix, num_class, phase, yy, ys, p1v, p2v):
         out.update(
             {f"{metric_prefix}{phase}/{nm}/mis/batch/{k}": v for k, v in m.items()}
         )
-    return out
+    return out, {f"{phase}1": p1v, f"{phase}2": p2v}
+
+
+def _loss_job(metric_prefix, c_hist, s_hist, c_w, s_w):
+    """Fetch the final closure losses (2 device scalars) off the critical
+    path and emit the reference's batch loss keys."""
+    c_loss, s_loss = float(c_hist[-1]), float(s_hist[-1])
+    log = {
+        f"{metric_prefix}/batch/c_loss": c_loss,
+        f"{metric_prefix}/batch/s_loss": s_loss,
+        f"{metric_prefix}/batch/cs_loss": c_loss * c_w + s_loss * s_w,
+    }
+    return log, {"c_loss": c_loss, "s_loss": s_loss}
+
+
+def _seg_iou_job(metric_prefix, parts, valid):
+    """Fetch + reduce the chunked re-segmentation IoUs (post_seg parts)."""
+    ious, miou = fetch_seg_ious(parts)
+    ious_v = ious[:, valid]
+    log = {
+        f"{metric_prefix}post/batch/iou{c}": float(np.nanmean(ious_v[c]))
+        for c in range(4)
+    }
+    log[f"{metric_prefix}post/batch/miou"] = float(np.nanmean(miou[valid]))
+    return log, {"ious": ious_v, "mious": miou[valid]}
 
 
 def _load_head(path: str | None, default):
@@ -209,19 +243,18 @@ def iris_style_transfer_openeds2019(
             vgg_params, c1_params, c2_params, c_imgs_j, masks_j, bboxes_j
         )
         # batch metrics over valid rows only — padded rows duplicate the
-        # last sample and would bias the final short batch
-        # host-side gather keeps the jitted metric programs single-device
-        # (mesh-wide SPMD buys nothing on (B, K) logits); the metric math
-        # itself runs on the worker pool, overlapped with device work
+        # last sample and would bias the final short batch.  EVERY D2H
+        # fetch (logits, losses, re-seg IoUs) happens on the worker thread:
+        # the main thread's critical path only dispatches device programs
+        # and blocks on the NST scan itself, so the ~150 ms/fetch tunnel
+        # latency rides behind device work instead of serializing it
         yy = np.asarray(c_labels)[valid]
         ys = np.asarray(s_labels)[valid]
-        p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
         futs = [metric_pool.submit(
-            _batch_metric_job, metric_prefix, num_class, "pre", yy, ys, p1v, p2v
+            _batch_metric_job, metric_prefix, num_class, "pre", yy, ys, valid, p1, p2
         )]
-        agg["pre1"].append(np.asarray(p1)[valid]); agg["pre2"].append(np.asarray(p2)[valid])
-        agg["c_labels"].append(np.asarray(c_labels)[valid])
-        agg["s_labels"].append(np.asarray(s_labels)[valid])
+        agg["c_labels"].append(yy)
+        agg["s_labels"].append(ys)
 
         if batch_id % save_period == 0:
             _save_png(f"{save_dir}batch_{batch_id}_raw.png", np.asarray(c_imgs[0]))
@@ -235,26 +268,19 @@ def iris_style_transfer_openeds2019(
         with timer:
             result = nst_fn(vgg_params, irises, s_rgb)
             result.x.block_until_ready()
-        c_loss = float(result.c_loss_hist[-1]); s_loss = float(result.s_loss_hist[-1])
-        agg["c_loss"].append(c_loss); agg["s_loss"].append(s_loss)
-        blog[f"{metric_prefix}/batch/c_loss"] = c_loss
-        blog[f"{metric_prefix}/batch/s_loss"] = s_loss
-        blog[f"{metric_prefix}/batch/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
+        futs.append(metric_pool.submit(
+            _loss_job, metric_prefix, result.c_loss_hist, result.s_loss_hist,
+            c_loss_weight, s_loss_weight,
+        ))
 
         new_frames, p1, p2 = post_fn(
             vgg_params, c1_params, c2_params, c_imgs_j, result.x, masks_j, bboxes_j
         )
-        ious, miou = post_seg(ritnet_params, new_frames, stage(seg_gt))
-        p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
+        seg_parts = post_seg(ritnet_params, new_frames, stage(seg_gt))
         futs.append(metric_pool.submit(
-            _batch_metric_job, metric_prefix, num_class, "post", yy, ys, p1v, p2v
+            _batch_metric_job, metric_prefix, num_class, "post", yy, ys, valid, p1, p2
         ))
-        ious_np = np.asarray(ious)[:, valid]
-        for c in range(4):
-            blog[f"{metric_prefix}post/batch/iou{c}"] = float(np.nanmean(ious_np[c]))
-        blog[f"{metric_prefix}post/batch/miou"] = float(np.nanmean(np.asarray(miou)[valid]))
-        agg["post1"].append(np.asarray(p1)[valid]); agg["post2"].append(np.asarray(p2)[valid])
-        agg["ious"].append(ious_np); agg["mious"].append(np.asarray(miou)[valid])
+        futs.append(metric_pool.submit(_seg_iou_job, metric_prefix, seg_parts, valid))
 
         if batch_id % save_period == 0:
             _save_png(f"{save_dir}batch_{batch_id}_new.png", np.asarray(new_frames[0]))
@@ -262,10 +288,14 @@ def iris_style_transfer_openeds2019(
         pending.append((blog, futs))
         pipe_times.append(time.perf_counter() - t_batch)
 
-    # drain the deferred metric jobs in batch order (exceptions surface here)
+    # drain the deferred metric/fetch jobs in batch order (exceptions
+    # surface here); agg fills here so its order matches the labels
     for blog, futs in pending:
         for f in futs:
-            blog.update(f.result())
+            log_upd, agg_upd = f.result()
+            blog.update(log_upd)
+            for k, v in agg_upd.items():
+                agg[k].append(v)
         logger.log(blog)
     metric_pool.shutdown(wait=True)
 
@@ -386,7 +416,16 @@ def main():
                 prepare_dir(save_dir, idempotent=True)
                 name = f"seed {cfg.seed} sw {sw} epoch {nst_epoch} {prefix[:-1]}"
                 logger = MetricLogger(cfg.project, name, cfg.to_dict())
-                # pre-NST IoUs recorded at dataset construction (:259-263)
+                log = iris_style_transfer_openeds2019(
+                    cfg, dataset, vgg_params, ritnet_params, c1_params, c2_params,
+                    cfg.c_loss_weight, sw, nst_epoch, prefix, save_dir, logger,
+                    num_class=num_class, mesh=mesh, programs=programs,
+                )
+                # pre-NST IoUs recorded at dataset construction (:259-263).
+                # Saved AFTER the loop: dataset.ious is the build's only
+                # forced D2H sync (lazy, see ISTDataset) — touching it first
+                # would serialize the async build ahead of the first NST
+                # scan.  Same files, same metric keys, same values.
                 pre_log = {}
                 for c in range(4):
                     np.save(f"{save_dir}ious{c}_pre.npy", dataset.ious[c])
@@ -394,11 +433,6 @@ def main():
                 np.save(f"{save_dir}mious_pre.npy", dataset.mious)
                 pre_log[f"{prefix}pre/mean_miou"] = float(np.nanmean(dataset.mious))
                 logger.log(pre_log)
-                log = iris_style_transfer_openeds2019(
-                    cfg, dataset, vgg_params, ritnet_params, c1_params, c2_params,
-                    cfg.c_loss_weight, sw, nst_epoch, prefix, save_dir, logger,
-                    num_class=num_class, mesh=mesh, programs=programs,
-                )
                 logger.finish()
                 write_sweep_marker(done_marker, sweep_config, log)
                 results[(prefix, sw, nst_epoch)] = log

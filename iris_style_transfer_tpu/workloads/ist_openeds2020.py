@@ -119,12 +119,15 @@ def make_programs(glint, compute_dtype, mesh=None):
 _nst_program = cached_nst_program
 
 
-def _gaze_metric_job(metric_prefix, phase, p1v, p2v, labs_v):
-    """Host-side per-batch angular-distance metrics for one phase
-    (pre/post).  Pure numpy on already-fetched arrays, so it runs on a
-    single worker thread OVERLAPPED with the next batch's device work —
-    the same pattern as the 2019 twin's ``_batch_metric_job``
-    (round-3 VERDICT weak #5: the twins disagreed on it)."""
+def _gaze_metric_job(metric_prefix, phase, p1, p2, labs_v, valid):
+    """Per-batch angular-distance metrics for one phase (pre/post) on the
+    single metric worker thread, OVERLAPPED with the next batch's device
+    work — the same pattern as the 2019 twin's ``_batch_metric_job``
+    (round-3 VERDICT weak #5: the twins disagreed on it).  The job takes
+    the DEVICE predictions and does the D2H fetch itself, keeping the
+    ~150 ms/fetch tunnel latency off the dispatch path.  Returns
+    (log-dict, agg-dict) for the ordered drain."""
+    p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
     out = {}
     for i, pv in (("1", p1v), ("2", p2v)):
         dot = np.clip(np.sum(pv * labs_v, axis=1), -1.0, 1.0)
@@ -133,7 +136,19 @@ def _gaze_metric_job(metric_prefix, phase, p1v, p2v, labs_v):
         out[f"{metric_prefix}/batch/{phase}/degree_distance{i}"] = float(
             np.degrees(rad).mean()
         )
-    return out
+    return out, {f"{phase}1": p1v, f"{phase}2": p2v}
+
+
+def _loss_job(metric_prefix, c_hist, s_hist, c_w, s_w):
+    """Fetch the final closure losses (2 device scalars) off the critical
+    path and emit the reference's batch loss keys."""
+    c_loss, s_loss = float(c_hist[-1]), float(s_hist[-1])
+    log = {
+        f"{metric_prefix}/batch/c_loss": c_loss,
+        f"{metric_prefix}/batch/s_loss": s_loss,
+        f"{metric_prefix}/batch/cs_loss": c_loss * c_w + s_loss * s_w,
+    }
+    return log, {"c_loss": c_loss, "s_loss": s_loss}
 
 
 def iris_style_transfer_openeds2020(
@@ -198,15 +213,14 @@ def iris_style_transfer_openeds2020(
             eff_params, g1_params, g2_params, c_imgs
         )
         # batch metrics over valid rows only — padded rows duplicate the
-        # last sample and would bias the final short batch.  The host-side
-        # gather happens here (needed for agg anyway); the metric math runs
-        # on the worker pool, overlapped with the NST scan below.
+        # last sample and would bias the final short batch.  Every D2H
+        # fetch (predictions, losses) happens on the worker thread: the
+        # main thread only dispatches device programs and blocks on the
+        # NST scan itself.
         labs_v = np.asarray(labs)[valid]
-        p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
         futs = [metric_pool.submit(
-            _gaze_metric_job, metric_prefix, "pre", p1v, p2v, labs_v
+            _gaze_metric_job, metric_prefix, "pre", p1, p2, labs_v, valid
         )]
-        agg["pre1"].append(p1v); agg["pre2"].append(p2v)
         agg["labels"].append(labs_v)
 
         with timer:
@@ -219,31 +233,32 @@ def iris_style_transfer_openeds2020(
                 s_batch = jax.device_put(s_batch, nst_in)
             result = nst_fn(vgg_params, irises, s_batch)
             result.x.block_until_ready()
-        c_loss = float(result.c_loss_hist[-1]); s_loss = float(result.s_loss_hist[-1])
-        agg["c_loss"].append(c_loss); agg["s_loss"].append(s_loss)
-        blog[f"{metric_prefix}/batch/c_loss"] = c_loss
-        blog[f"{metric_prefix}/batch/s_loss"] = s_loss
-        blog[f"{metric_prefix}/batch/cs_loss"] = c_loss * c_loss_weight + s_loss * s_loss_weight
+        futs.append(metric_pool.submit(
+            _loss_job, metric_prefix, result.c_loss_hist, result.s_loss_hist,
+            c_loss_weight, s_loss_weight,
+        ))
 
         new_frames, p1, p2 = post_fn(
             eff_params, g1_params, g2_params,
             stage(quantize_u8(np.asarray(c_imgs))), result.x, stage(masks), stage(bboxes),
         )
-        p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
         futs.append(metric_pool.submit(
-            _gaze_metric_job, metric_prefix, "post", p1v, p2v, labs_v
+            _gaze_metric_job, metric_prefix, "post", p1, p2, labs_v, valid
         ))
-        agg["post1"].append(p1v); agg["post2"].append(p2v)
 
         if batch_id % save_period == 0:
             _save_png(f"{save_dir}batch_{batch_id}_new.png", new_frames[0])
         pending.append((blog, futs))
         pipe_times.append(time.perf_counter() - t_batch)
 
-    # drain the deferred metric jobs in batch order (exceptions surface here)
+    # drain the deferred metric/fetch jobs in batch order (exceptions
+    # surface here); agg fills here so its order matches the labels
     for blog, futs in pending:
         for f in futs:
-            blog.update(f.result())
+            log_upd, agg_upd = f.result()
+            blog.update(log_upd)
+            for k, v in agg_upd.items():
+                agg[k].append(v)
         logger.log(blog)
     metric_pool.shutdown(wait=True)
 

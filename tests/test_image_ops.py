@@ -245,3 +245,25 @@ def test_rotate_identity_and_90():
     np.testing.assert_allclose(out0, img, atol=1e-5)
     out90 = np.asarray(rotate(jnp.asarray(img), jnp.float32(90.0)))
     np.testing.assert_allclose(out90[:, :, 0], np.rot90(img[:, :, 0], 1), atol=1e-4)
+
+
+def test_pack_labels2_roundtrip_and_dispatch():
+    """2-bit GT label packing (4-class OpenEDS maps, 4x less H2D): numpy
+    host pack -> device unpack must be exact, and as_label_map must
+    dispatch on the packed-vs-raw trailing extent."""
+    from iris_style_transfer_tpu.ops.image import (
+        as_label_map,
+        pack_labels2,
+        unpack_labels2,
+    )
+
+    rng = np.random.default_rng(11)
+    seg = rng.integers(0, 4, size=(3, 40, 64)).astype(np.uint8)
+    packed = pack_labels2(seg)  # host-side numpy
+    assert isinstance(packed, np.ndarray) and packed.shape == (3, 40, 16)
+    np.testing.assert_array_equal(np.asarray(unpack_labels2(jnp.asarray(packed))), seg)
+    # jax-side packing agrees with the numpy pack
+    np.testing.assert_array_equal(np.asarray(pack_labels2(jnp.asarray(seg))), packed)
+    # dispatch: packed input unpacks, raw input passes through
+    np.testing.assert_array_equal(np.asarray(as_label_map(jnp.asarray(packed), 64)), seg)
+    np.testing.assert_array_equal(np.asarray(as_label_map(jnp.asarray(seg), 64)), seg)

@@ -78,13 +78,23 @@ def main():
 
     # stage 1: dataset build (seg + mask + crop).  Warm the one jitted
     # program on an 8-image slice (args.n % 8 == 0 keeps chunk shapes
-    # uniform), then time the full build.
+    # uniform), then time the full build twice: the first pays any
+    # full-shape eager-op compiles the persistent cache missed; the second
+    # is the steady state every further sweep combo / split sees (and what
+    # the 10x-larger real split amortizes to).
     build_ist_dataset(xs[:8], ys[:8], ms[:8], ritnet_params, cfg.glint_threshold)
     t0 = time.perf_counter()
     dataset = build_ist_dataset(xs, ys, ms, ritnet_params, cfg.glint_threshold)
+    _ = dataset.ious  # the build's one (lazy) D2H sync
+    t_build_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dataset = build_ist_dataset(xs, ys, ms, ritnet_params, cfg.glint_threshold)
+    _ = dataset.ious
     t_build = time.perf_counter() - t0
-    build_ips = args.n / t_build
-    print(f"build: {t_build:.2f} s for {args.n} images = {build_ips:.1f} img/s", flush=True)
+    print(f"build (first, incl. one-time compiles): {t_build_first:.2f} s "
+          f"for {args.n} images = {args.n / t_build_first:.1f} img/s", flush=True)
+    print(f"build (steady state): {t_build:.2f} s for {args.n} images "
+          f"= {args.n / t_build:.1f} img/s", flush=True)
 
     # stage 2: the batch loop at the reference config
     save_dir = "/tmp/probe18/"
@@ -111,6 +121,10 @@ def main():
     print(f"FULL seg+NST pipeline: {full_ipm:.1f} images/min/chip "
           f"(build {t_build/args.n*1e3:.0f} ms/img + loop {60.0/pipe_ipm*1e3:.0f} ms/img)",
           flush=True)
+    # conservative cross-check: one COLD build + the loop, everything on
+    # the wall clock (one-time compiles, warmup, staging, metric drain)
+    print(f"FULL pipeline, pure wall (cold build + loop incl. compile): "
+          f"{args.n / (t_build_first + t_loop) * 60:.1f} images/min/chip", flush=True)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,7 @@ def main():
         print(f"{'':42s} = {n / dt:8.1f} img/s", flush=True)
 
     pre_fn, post_fn, post_seg = make_programs(jnp.bfloat16, seg_chunk=8)
+    from iris_style_transfer_tpu.workloads.ist_openeds2019 import fetch_seg_ious
     masks = (frames(64, 7) > 0.5).astype(jnp.float32)
     bboxes = jnp.tile(jnp.array([[100, 100, 228, 228]], jnp.int32), (64, 1))
     sty = jax.random.uniform(jax.random.fold_in(key, 8), (64, 224, 224, 3))
@@ -114,10 +115,11 @@ def main():
 
     for chunk in (8, 16, 32):
         x = frames(64, 9)
-        post_seg(ritnet, x, gt, chunk=chunk)  # compile
+        fetch_seg_ious(post_seg(ritnet, x, gt, chunk=chunk))  # compile
         t0 = time.perf_counter()
         for i in range(3):
-            post_seg(ritnet, frames(64, 20 + i), gt, chunk=chunk)
+            # post_seg now only dispatches; fetch_seg_ious is the D2H half
+            fetch_seg_ious(post_seg(ritnet, frames(64, 20 + i), gt, chunk=chunk))
         dt = (time.perf_counter() - t0) / 3
         print(f"{f'post_seg 64 frames, chunk={chunk}':42s} {dt * 1e3:8.1f} ms/call", flush=True)
 
