@@ -37,6 +37,7 @@ import sys
 import time
 import types
 
+import numpy as np
 import torch
 import torch.nn as nn
 
@@ -110,24 +111,35 @@ def _install_stubs() -> None:
                 x = t(x)
             return x
 
-    class _Identity:
+    class _ToImage:
+        """v2.ToImage: numpy HW/HWC -> torch (C, H, W) tensor (RITnet's
+        transform feeds it the cv2 CLAHE output as a uint8 numpy array,
+        ``models/ritnet/ritnet.py:88-97``); tensors pass through."""
+
         def __init__(self, *a, **k):
             pass
 
         def __call__(self, x):
+            if isinstance(x, np.ndarray):
+                x = torch.from_numpy(np.ascontiguousarray(x))
+            if x.ndim == 2:
+                x = x.unsqueeze(0)
             return x
 
     class _ToDtype:
         def __init__(self, dtype, scale=False):
             self.dtype = dtype
+            self.scale = scale
 
         def __call__(self, x):
-            return x.to(self.dtype)  # inputs are already float [0,1] tensors
+            if self.scale and not torch.is_floating_point(x):
+                return x.to(self.dtype) / 255.0  # v2 semantics for u8 input
+            return x.to(self.dtype)
 
     tv_tr.Normalize = _Normalize
     v2 = types.ModuleType("torchvision.transforms.v2")
     v2.Compose = _Compose
-    v2.ToImage = _Identity
+    v2.ToImage = _ToImage
     v2.ToDtype = _ToDtype
     v2.Normalize = _Normalize
     tv_tr.v2 = v2
