@@ -286,6 +286,62 @@ def batchnorm_train(
     return out.astype(x.dtype), new_p
 
 
+# Strided-slice formulation of the 2x2 pool (round-4 probe24): the
+# reshape-to-6D form's intermediates have minor dims (2, C) — at block 1
+# (C=64) that is a 2/8-sublane x 64/128-lane tile occupancy (12.5%), and
+# the round-4 bs64 trace shows the pool1 backward costing 10.1 ms/closure
+# (compare_select 6.8 + 6-D broadcast 3.3) against a ~1.3 ms HBM bound.
+# Four strided H/W slices keep every op 4-D with the tensor's own (B, C)
+# minor dims; the backward scatters through interior-padded adds.
+#
+# MEASURED AND REJECTED (tools/perf_probe24.py, real chip): 14.03 vs
+# 22.32 steps/s at (64, 224, 224, 3) and 12.68 vs 45.65 at the 512px
+# bench config — XLA lowers the strided slices/interior pads to far
+# worse code than the 6-D reshape form it was meant to replace.  Kept
+# flag-gated OFF as the documented dead end (bit-identical numerics,
+# tests/test_layers.py::test_max_pool_strided_bitwise_matches_6d_form).
+POOL_STRIDED = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool2_strided(x: jax.Array, window: int = 2) -> jax.Array:
+    x00 = x[:, 0::2, 0::2, :]
+    x01 = x[:, 0::2, 1::2, :]
+    x10 = x[:, 1::2, 0::2, :]
+    x11 = x[:, 1::2, 1::2, :]
+    return jnp.maximum(jnp.maximum(x00, x01), jnp.maximum(x10, x11))
+
+
+def _max_pool2_strided_fwd(x, window):
+    y = _max_pool2_strided(x, window)
+    # residual (x, y): both already live in the surrounding graph (x is
+    # the relu output, y feeds the next conv), so the fwd writes nothing
+    # extra — vs the 6-D form's full-res bool mask
+    return y, (x, y)
+
+
+def _max_pool2_strided_bwd(window, res, ct):
+    """Tie semantics identical to ``_max_pool_nonoverlap``: every
+    max-achieving window element receives the full cotangent."""
+    x, y = res
+    zero = jnp.zeros((), ct.dtype)
+    dx = None
+    for i in (0, 1):
+        for j in (0, 1):
+            xij = jax.lax.slice(x, (0, i, j, 0), x.shape, (1, 2, 2, 1))
+            g = jnp.where(xij == y, ct, zero)
+            # interior padding interleaves the slice back to full res
+            part = jax.lax.pad(
+                g, zero,
+                ((0, 0, 0), (i, 1 - i, 1), (j, 1 - j, 1), (0, 0, 0)),
+            )
+            dx = part if dx is None else dx + part
+    return (dx,)
+
+
+_max_pool2_strided.defvjp(_max_pool2_strided_fwd, _max_pool2_strided_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _max_pool_nonoverlap(x: jax.Array, window: int) -> jax.Array:
     b, h, w, c = x.shape
@@ -439,11 +495,15 @@ relu_stats.defvjp(_relu_stats_fwd, _relu_stats_bwd)
 def max_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
     stride = stride or window
     if stride == window and x.shape[1] % window == 0 and x.shape[2] % window == 0:
-        # non-overlapping pooling as reshape+max: its VJP is an elementwise
-        # compare/select instead of reduce_window's SelectAndScatter, which
-        # dominates backward time on TPU (the VGG NST closure spends more
-        # in pool gradients than in all the convs without this); the
-        # custom VJP keeps bool masks instead of the input as residual
+        # non-overlapping pooling as elementwise max: its VJP is an
+        # elementwise compare/select instead of reduce_window's
+        # SelectAndScatter, which dominates backward time on TPU (the VGG
+        # NST closure spends more in pool gradients than in all the convs
+        # without this).  window 2 (the only size the model zoo uses on
+        # gradient paths) takes the strided-slice form — all-4D, full
+        # (B, C)-minor tile occupancy; see _max_pool2_strided
+        if window == 2 and POOL_STRIDED:
+            return _max_pool2_strided(x, window)
         return _max_pool_nonoverlap(x, window)
     return jax.lax.reduce_window(
         x,

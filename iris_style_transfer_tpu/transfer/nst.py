@@ -61,6 +61,7 @@ def make_nst_fn(
     stats_taps: bool | None = None,
     lbfgs_flat: bool = False,
     pack_batch: bool = False,
+    pack_factor: int = 1,
     scan_unroll: int = 1,
     history_every: int = 0,
     content_layers: Sequence[str] = ("relu4_2",),
@@ -94,7 +95,16 @@ def make_nst_fn(
     # XLA's grouped-conv lowering swamps the vreg-occupancy win it was
     # built for (tools/perf_probe12.py).  Kept default-off as the
     # documented dead end.
+    #
+    # pack_factor=k generalizes it to PARTIAL packing ((B, H, W, C) ->
+    # (B/k, H, W, k*C), feature_group_count=k convs): the round-4 bs64
+    # trace shows block 1's relu/pool boundary ops tiling at 12.5-50%
+    # occupancy because C=64 half-fills the 128 lanes; k=2 fills them
+    # while keeping the grouped-conv degradation bounded to g=2
+    # (tools/perf_probe25.py).  pack_batch=True is pack_factor=B.
     pack_batch = pack_batch and bn_loss
+    if not bn_loss:
+        pack_factor = 1
     # stats_taps: the style taps come back from the VGG forward as
     # (mean, std) pairs computed by the fused relu+stats op instead of
     # the full activation tensors (probe15 candidate; None defers to the
@@ -110,6 +120,7 @@ def make_nst_fn(
         (_L.STATS_TAPS if stats_taps is None else stats_taps)
         and bn_loss
         and not pack_batch
+        and pack_factor <= 1
         and stats_eligible
     )
     vgg_apply = functools.partial(
@@ -136,24 +147,31 @@ def make_nst_fn(
             return gram_matrix_pallas(f)
         return gram_matrix(f)
 
-    def _pack(img):
+    def _pack(img, k):
+        """(B, H, W, C) -> (B/k, H, W, k*C): images k*b2+i stack on the
+        channel axis (group-major, matching the gN-tiled weights)."""
         b, hh, ww, cc = img.shape
-        return jnp.transpose(img, (1, 2, 0, 3)).reshape(1, hh, ww, b * cc)
+        return jnp.transpose(
+            img.reshape(b // k, k, hh, ww, cc), (0, 2, 3, 1, 4)
+        ).reshape(b // k, hh, ww, k * cc)
 
-    def _unpack(p, b):
-        _, hh, ww, bc = p.shape
-        return jnp.transpose(p.reshape(hh, ww, b, bc // b), (2, 0, 1, 3))
+    def _unpack(p, k):
+        b2, hh, ww, kc = p.shape
+        return jnp.transpose(
+            p.reshape(b2, hh, ww, k, kc // k), (0, 3, 1, 2, 4)
+        ).reshape(b2 * k, hh, ww, kc // k)
 
     def fn(vgg_params, c_img, s_img, noise_key=None):
         c_img = c_img.astype(jnp.float32)
         s_img = s_img.astype(jnp.float32)
 
         nb = c_img.shape[0]
-        packed = pack_batch and nb > 1
+        kpack = nb if pack_batch else pack_factor
+        packed = kpack > 1 and nb > 1 and nb % kpack == 0
         if packed:
-            c_img = _pack(c_img)
-            s_img = _pack(s_img)
-            va = functools.partial(vgg_apply, batch_groups=nb)
+            c_img = _pack(c_img, kpack)
+            s_img = _pack(s_img, kpack)
+            va = functools.partial(vgg_apply, batch_groups=kpack)
         else:
             va = vgg_apply
 
@@ -180,9 +198,9 @@ def make_nst_fn(
                 s_loss = style_loss_bn(x_s, s_targets)
                 if packed:
                     # style_loss_bn normalizes each tap's term by its
-                    # channel count; packed taps have nb*C channels, so
-                    # restore the per-image normalizer
-                    s_loss = s_loss * nb
+                    # channel count; packed taps have kpack*C channels,
+                    # so restore the per-image normalizer
+                    s_loss = s_loss * kpack
             else:
                 s_loss = style_loss_gram(x_s, s_targets, gram_fn=_gram)
             return c_loss * c_loss_weight + s_loss * s_loss_weight, (c_loss, s_loss)
@@ -252,9 +270,9 @@ def make_nst_fn(
         )
         x = jnp.clip(x, 0.0, 1.0)  # final clamp (pipelines.py:108-109)
         if packed:
-            x = _unpack(x, nb)
+            x = _unpack(x, kpack)
             if n_snaps:
-                snaps = jax.vmap(_unpack, in_axes=(0, None))(snaps, nb)
+                snaps = jax.vmap(_unpack, in_axes=(0, None))(snaps, kpack)
         return NSTResult(x, c_hist, s_hist, snaps if n_snaps else None)
 
     return fn

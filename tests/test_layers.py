@@ -380,3 +380,22 @@ def test_pallas_relu_stats_matches_composed():
         rtol=1e-2,
         atol=1e-2,
     )
+
+
+def test_max_pool_strided_bitwise_matches_6d_form():
+    """The strided-slice 2x2 pool (layers._max_pool2_strided, the default
+    window-2 dispatch — all-4D ops, no (2, C)-minor 6-D intermediates that
+    tile at 12.5% occupancy on TPU, tools/perf_probe24.py) must be
+    BIT-identical to the reshape-to-6D form in fwd and bwd, including the
+    full-cotangent-to-ties semantics, in f32 and bf16."""
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((3, 8, 12, 5)).astype(np.float32)
+    x[0, 0, 0, 0] = x[0, 1, 1, 0] = 7.0  # nonzero tie across a window
+    x[1, 2:4, 2:4, 1] = 0.5  # fully tied window
+    for dt in (jnp.float32, jnp.bfloat16):
+        xj = jnp.asarray(x, dt)
+        y6, vjp6 = jax.vjp(lambda a: L._max_pool_nonoverlap(a, 2), xj)
+        ys, vjps = jax.vjp(lambda a: L._max_pool2_strided(a, 2), xj)
+        assert bool(jnp.all(y6 == ys))
+        ct = jnp.asarray(rng.standard_normal(y6.shape).astype(np.float32), dt)
+        assert bool(jnp.all(vjp6(ct)[0] == vjps(ct)[0]))
