@@ -409,7 +409,16 @@ def relu_max_pool(x: jax.Array, window: int = 2) -> jax.Array:
 
 
 def _relu_max_pool_fwd(x, window):
-    y = relu_max_pool(x, window)
+    from ..ops import pallas_pool
+
+    if window == 2 and pallas_pool.supported(
+        x.shape, window, jnp.dtype(x.dtype).itemsize
+    ):
+        # one lane-full pass (the XLA form materializes the relu output
+        # plus a low-occupancy 6-D windowed view — see ops/pallas_pool.py)
+        y = pallas_pool.relu_pool_fwd(x)
+    else:
+        y = relu_max_pool(x, window)
     return y, (x, y)
 
 

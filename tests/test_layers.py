@@ -399,3 +399,34 @@ def test_max_pool_strided_bitwise_matches_6d_form():
         assert bool(jnp.all(y6 == ys))
         ct = jnp.asarray(rng.standard_normal(y6.shape).astype(np.float32), dt)
         assert bool(jnp.all(vjp6(ct)[0] == vjps(ct)[0]))
+
+
+def test_pallas_relu_pool_fwd_and_multiblock_bwd_match_jnp():
+    """Round-4 3-D-tiled pallas_pool kernels (interpret mode): the fwd
+    must equal max_pool(relu(x)) and the bwd the 6-D windowed-select
+    gradient exactly, at a shape that exercises MULTIPLE grid blocks in
+    every dimension (H, W and the lane dim)."""
+    from iris_style_transfer_tpu.ops import pallas_pool
+
+    rng = np.random.default_rng(26)
+    # (B*C = 512 -> lane-dim blocks; 32x48 spatial -> H/W blocks at u=4)
+    x = jnp.asarray(rng.standard_normal((16, 32, 48, 32)).astype(np.float32))
+    x = x.at[1, 2, 2, 3].set(x[1, 2, 3, 3])  # exact window tie
+    x = x.astype(jnp.bfloat16)
+    want_y = L.max_pool(jax.nn.relu(x), 2, 2)
+    got_y = pallas_pool.relu_pool_fwd(x, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_y.astype(jnp.float32)), np.asarray(want_y.astype(jnp.float32))
+    )
+    ct = jnp.asarray(
+        rng.standard_normal((16, 16, 24, 32)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x6 = x.reshape(16, 16, 2, 24, 2, 32)
+    keep = (x6 > 0) & (x6 == want_y[:, :, None, :, None, :])
+    want_g = jnp.where(
+        keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+    ).reshape(16, 32, 48, 32)
+    got_g = pallas_pool.relu_pool_bwd(x, want_y, ct, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_g.astype(jnp.float32)), np.asarray(want_g.astype(jnp.float32))
+    )
