@@ -215,12 +215,12 @@ def main():
             pass
 
     # ---- secondary configs, strictly budgeted, side artifact only ----
-    # Ordering (round-3 postmortem: a cold compile cache let the ADVISORY
-    # scaling guard eat the whole budget and skip every secondary metric):
-    # the Gram and production-IST secondaries run FIRST — they are the
-    # numbers VERDICT tracks round over round — and the anti-elision
-    # scaling check takes whatever budget is left.  Per-stage timestamps
-    # are recorded so a budget blowout is diagnosable from the artifact.
+    # Ordering (round-4 VERDICT weak #3 reversed round 3's): the
+    # anti-elision scaling guard runs FIRST — its compile is cached after
+    # any prior run so it usually costs seconds, and it protects the
+    # primary's integrity — then the Gram and production-IST secondaries.
+    # Per-stage timestamps are recorded so a budget blowout is diagnosable
+    # from the artifact.
     extra = {
         "primary_steps_per_sec": round(steps_per_sec, 2),
         "t_primary_done_s": round(time.monotonic() - T0, 1),
@@ -245,6 +245,38 @@ def main():
             pass
 
     try:
+        # scaling sanity (anti-elision): full epochs should take ~4x a
+        # quarter-epochs run of the same closure.  Runs FIRST among the
+        # secondaries (round-4 VERDICT weak #3: ordered last, it never got
+        # the >120 s a cold 512px compile needs and had not landed since
+        # round 3).  Cost control: the quarter program's compile persists
+        # in the compile cache (runtime/cache.py, threshold 2 s), so every
+        # round after the first costs seconds here; on a cold cache it may
+        # consume one compile's worth of budget — an accepted trade, since
+        # the gram/IST secondaries below are stable known quantities while
+        # the guard protects the primary's integrity.  Advisory: its
+        # verdict is recorded in BENCH_extra.json and stderr, never a
+        # silent downgrade of the already-printed primary (the FLOP-ceiling
+        # check above already rejected gross elision before the print).
+        if remaining() > 45:
+            fn_q = jax.jit(make_nst_fn(epochs=EPOCHS // 4, **kw))
+            run(fn_q, params, cs[0], s)  # compile + warmup
+            t_quarter = min(run(fn_q, params, c, s)[0] for c in cs[1:3])
+            scaling = t_full / max(t_quarter, 1e-9)
+            extra["scaling_ratio_full_vs_quarter"] = round(scaling, 2)
+            extra["t_scaling_done_s"] = round(time.monotonic() - T0, 1)
+            if scaling < 2.0:
+                extra["scaling_warning"] = (
+                    "full-epochs wall time did not scale vs quarter-epochs — "
+                    "distrust the primary value (possible runtime elision); "
+                    f"conservative estimate {round((EPOCHS // 4) / t_quarter / 4.0, 2)}"
+                )
+                print(json.dumps({"warning": extra["scaling_warning"]}),
+                      file=sys.stderr, flush=True)
+            save_extra()
+        else:
+            extra.setdefault("skipped_at", "scaling_guard")
+
         # Gram-loss 512px path (the memory-bound case the Pallas kernel
         # targets; win/loss vs XLA dot recorded)
         g_epochs = 40
@@ -281,27 +313,6 @@ def main():
         else:
             extra.setdefault("skipped_at", "ist_224px_bs64")
 
-        # scaling sanity (anti-elision): full epochs should take ~4x a
-        # quarter-epochs run of the same closure.  Advisory — runs LAST (it
-        # costs one more 512px compile), and its verdict is recorded in
-        # BENCH_extra.json and stderr, never a silent downgrade of an
-        # already-printed number.
-        if remaining() > 120:
-            fn_q = jax.jit(make_nst_fn(epochs=EPOCHS // 4, **kw))
-            run(fn_q, params, cs[0], s)  # compile + warmup
-            t_quarter = min(run(fn_q, params, c, s)[0] for c in cs[1:3])
-            scaling = t_full / max(t_quarter, 1e-9)
-            extra["scaling_ratio_full_vs_quarter"] = round(scaling, 2)
-            if scaling < 2.0:
-                extra["scaling_warning"] = (
-                    "full-epochs wall time did not scale vs quarter-epochs — "
-                    "distrust the primary value (possible runtime elision); "
-                    f"conservative estimate {round((EPOCHS // 4) / t_quarter / 4.0, 2)}"
-                )
-                print(json.dumps({"warning": extra["scaling_warning"]}),
-                      file=sys.stderr, flush=True)
-        else:
-            extra.setdefault("skipped_at", "scaling_guard")
     except Exception as e:  # pragma: no cover - defensive
         extra["error"] = f"{type(e).__name__}: {e}"
 

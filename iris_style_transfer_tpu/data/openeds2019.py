@@ -284,8 +284,11 @@ def build_ist_dataset(
 
     ``device_resident=True`` (default) keeps every image-shaped output on
     device — see :class:`ISTDataset` — so the only D2H fetch is the small
-    (4, N) IoU block; ``False`` restores the all-numpy dataset (host
-    analysis / serialization use)."""
+    (4, N) IoU block; ``False`` materializes every field as numpy instead
+    (host analysis / serialization use).  In BOTH modes ``c_masks_gt`` is
+    held 2-bit packed ((N, H, W//4) uint8, ``ops.image.pack_labels2``) and
+    masks bit-packed — host consumers of raw labels must unpack via
+    ``ops.image.unpack_labels2`` / ``as_label_map``."""
     n = len(c_imgs)
     assert n == len(c_labels) == len(c_masks_gt)
 

@@ -342,6 +342,56 @@ def _max_pool2_strided_bwd(window, res, ct):
 _max_pool2_strided.defvjp(_max_pool2_strided_fwd, _max_pool2_strided_bwd)
 
 
+# Paired-lane formulation of the 2x2 pool (round 5): the 6-D form's
+# pathology is its (2, C) minor dims — 2/8 sublanes x C/128 lanes = 12.5%
+# vreg occupancy at block 1 (C=64), which the round-4 bs64 trace prices at
+# ~15.7 ms/closure of pool1 fwd+bwd against a ~2 ms HBM bound.  Key
+# observation: W and C are ADJACENT row-major dims, so regrouping
+#
+#     (B, H, W, C)  ->  (B, H/2, 2, W/2, 2C)
+#
+# is a pure row-major reshape that fuses each W-pair into the lane axis:
+# the minor dims become (W/2, 2C) = (112, 128) at block 1 — fully
+# occupied tiles.  The W-pair max is then a lane-aligned half-split
+# maximum, and the H-pair max reduces a SLAB-strided axis (stride
+# W/2 * 2C, vreg-aligned), never a sublane-interleaved one.  The backward
+# broadcasts y/ct into both lane halves (concat) and both H-slabs —
+# again no (2, C)-minor intermediates.  Numerics are bit-identical to
+# the 6-D form incl. tie-to-all semantics (max is exactly associative).
+# Default OFF until measured on-chip (tools/probe.py nst).
+POOL_PAIRED = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool2_paired(x: jax.Array, window: int = 2) -> jax.Array:
+    b, h, w, c = x.shape
+    xp = x.reshape(b, h // 2, 2, w // 2, 2 * c)
+    xw = jnp.maximum(xp[..., :c], xp[..., c:])  # W-pair max, lane-aligned
+    return jnp.max(xw, axis=2)  # H-pair max, slab-aligned
+
+
+def _max_pool2_paired_fwd(x, window):
+    y = _max_pool2_paired(x, window)
+    # residual (x, y): x is the upstream relu output already live in the
+    # graph; no extra full-res mask is written (cf. _max_pool_nonoverlap)
+    return y, (x, y)
+
+
+def _max_pool2_paired_bwd(window, res, ct):
+    """Tie semantics identical to ``_max_pool_nonoverlap``: every
+    max-achieving window element receives the full cotangent."""
+    x, y = res
+    b, p, q, c = ct.shape
+    xp = x.reshape(b, p, 2, q, 2 * c)
+    yb = jnp.concatenate([y, y], axis=-1)[:, :, None]  # (B, P, 1, Q, 2C)
+    ctb = jnp.concatenate([ct, ct], axis=-1)[:, :, None]
+    g = jnp.where(xp == yb, ctb, jnp.zeros((), ct.dtype))
+    return (g.reshape(b, 2 * p, 2 * q, c),)
+
+
+_max_pool2_paired.defvjp(_max_pool2_paired_fwd, _max_pool2_paired_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _max_pool_nonoverlap(x: jax.Array, window: int) -> jax.Array:
     b, h, w, c = x.shape
@@ -411,7 +461,14 @@ def relu_max_pool(x: jax.Array, window: int = 2) -> jax.Array:
 def _relu_max_pool_fwd(x, window):
     from ..ops import pallas_pool
 
-    if window == 2 and pallas_pool.supported(
+    if window == 2 and POOL_PAIRED:
+        # paired-lane form: W-pairs fused into lanes, relu folded into the
+        # H-pair max (see the POOL_PAIRED block comment above)
+        b, h, w, c = x.shape
+        xp = x.reshape(b, h // 2, 2, w // 2, 2 * c)
+        xw = jnp.maximum(xp[..., :c], xp[..., c:])
+        y = jnp.maximum(jnp.max(xw, axis=2), jnp.zeros((), x.dtype))
+    elif window == 2 and pallas_pool.supported(
         x.shape, window, jnp.dtype(x.dtype).itemsize
     ):
         # one lane-full pass (the XLA form materializes the relu output
@@ -426,6 +483,14 @@ def _relu_max_pool_bwd(window, res, ct):
     x, y = res
     from ..ops import pallas_pool
 
+    if window == 2 and POOL_PAIRED:
+        b, p2, q2, c = x.shape
+        xp = x.reshape(b, p2 // 2, 2, q2 // 2, 2 * c)
+        yb = jnp.concatenate([y, y], axis=-1)[:, :, None]
+        ctb = jnp.concatenate([ct, ct], axis=-1)[:, :, None].astype(ct.dtype)
+        keep = (xp > 0) & (xp == yb)
+        g = jnp.where(keep, ctb, jnp.zeros((), ct.dtype))
+        return (g.reshape(b, p2, q2, c),)
     if pallas_pool.supported(x.shape, window, jnp.dtype(x.dtype).itemsize):
         # one lane-full pass over a bitcast (H, W, B*C) view — the XLA
         # lowering of the expression below runs at 25% vreg occupancy in
@@ -508,11 +573,14 @@ def max_pool(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Ar
         # elementwise compare/select instead of reduce_window's
         # SelectAndScatter, which dominates backward time on TPU (the VGG
         # NST closure spends more in pool gradients than in all the convs
-        # without this).  window 2 (the only size the model zoo uses on
-        # gradient paths) takes the strided-slice form — all-4D, full
-        # (B, C)-minor tile occupancy; see _max_pool2_strided
+        # without this).  The default dispatch is _max_pool_nonoverlap
+        # (6-D reshape form); the strided-slice alternative is flag-gated
+        # OFF — measured and REJECTED on-chip (see the POOL_STRIDED block
+        # comment, the source of truth for that verdict)
         if window == 2 and POOL_STRIDED:
             return _max_pool2_strided(x, window)
+        if window == 2 and POOL_PAIRED:
+            return _max_pool2_paired(x, window)
         return _max_pool_nonoverlap(x, window)
     return jax.lax.reduce_window(
         x,

@@ -151,6 +151,7 @@ class VGG19:
         bn: bool = False,
         batch_groups: int = 1,
         stats_taps: bool = False,
+        fuse_relu_pool: bool | None = None,
     ):
         """x: (B, H, W, 3) in [0,1].  Returns (final, content_feats,
         style_feats).  Taps stay in ``compute_dtype`` (losses and style
@@ -167,6 +168,12 @@ class VGG19:
         ``truncate=True`` stops after the deepest requested tap (the NST
         loop never needs the final features — saves ~30% of the FLOPs;
         ``final`` is then the last computed activation).
+
+        ``fuse_relu_pool=None`` defers to the ``layers.FUSE_RELU_POOL``
+        module flag; pass ``False`` to force the composed relu+pool path —
+        the NST builder does this under model-sharded meshes, where the
+        fused op's Pallas dispatch (``layers._relu_max_pool_fwd``) has no
+        SPMD partitioning rule and XLA would replicate its operands.
 
         ``batch_groups=g`` runs a BATCH-PACKED forward: x is
         (1, H, W, g*3) holding g images stacked batch-major on the
@@ -257,8 +264,9 @@ class VGG19:
                         taps[bname] = h
                     idx += 1
                 nxt = _CFG[ci + 1] if ci + 1 < len(_CFG) else None
+                fuse = L.FUSE_RELU_POOL if fuse_relu_pool is None else fuse_relu_pool
                 if (
-                    L.FUSE_RELU_POOL
+                    fuse
                     and nxt == "M"
                     and rname not in taps_wanted
                     and (stop_idx is None or idx + 1 <= stop_idx)

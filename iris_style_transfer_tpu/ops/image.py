@@ -89,6 +89,13 @@ def pack_labels2(seg):
     on device."""
     xp = jnp if isinstance(seg, jax.Array) else np
     *lead, h, w = seg.shape
+    assert w % 4 == 0, f"pack_labels2 needs a width divisible by 4, got {w}"
+    if xp is np:
+        # a 5th class would silently bleed into the adjacent 2-bit field
+        # and round-trip to WRONG labels, skewing every IoU downstream —
+        # fail loudly on the host path (device path stays assert-free for
+        # jit; both OpenEDS GT sources are 4-class by construction)
+        assert seg.max() < 4, f"pack_labels2 got a label >= 4 (max {seg.max()})"
     quads = seg.astype(xp.uint8).reshape(*lead, h, w // 4, 4)
     weights = (xp.uint8(1) << (2 * xp.arange(4, dtype=xp.uint8)))
     return (quads * weights).sum(axis=-1).astype(xp.uint8)

@@ -87,6 +87,11 @@ def make_nst_fn(
     if model_sharded:
         pallas_gram = False
         stats_taps = False
+        # relu_max_pool's Pallas dispatch has no SPMD rule either — force
+        # the composed relu+pool path regardless of layers.FUSE_RELU_POOL
+        fuse_relu_pool: bool | None = False
+    else:
+        fuse_relu_pool = None  # defer to the module flag
 
     # pack_batch: run the whole optimization with the batch stacked on the
     # channel axis ((B, H, W, 3) -> (1, H, W, B*3), g-group convs).
@@ -130,6 +135,7 @@ def make_nst_fn(
         compute_dtype=compute_dtype,
         truncate=True,
         stats_taps=use_stats,
+        fuse_relu_pool=fuse_relu_pool,
     )
 
     # Gram implementation selection: "auto" uses the Pallas blockwise kernel

@@ -383,11 +383,11 @@ def test_pallas_relu_stats_matches_composed():
 
 
 def test_max_pool_strided_bitwise_matches_6d_form():
-    """The strided-slice 2x2 pool (layers._max_pool2_strided, the default
-    window-2 dispatch — all-4D ops, no (2, C)-minor 6-D intermediates that
-    tile at 12.5% occupancy on TPU, tools/perf_probe24.py) must be
-    BIT-identical to the reshape-to-6D form in fwd and bwd, including the
-    full-cotangent-to-ties semantics, in f32 and bf16."""
+    """The strided-slice 2x2 pool (layers._max_pool2_strided — a flag-gated
+    alternative measured and REJECTED on-chip, POOL_STRIDED=False; see the
+    layers.POOL_STRIDED block comment and tools/perf_probe24.py) must be
+    BIT-identical to the default reshape-to-6D form in fwd and bwd,
+    including the full-cotangent-to-ties semantics, in f32 and bf16."""
     rng = np.random.default_rng(24)
     x = rng.standard_normal((3, 8, 12, 5)).astype(np.float32)
     x[0, 0, 0, 0] = x[0, 1, 1, 0] = 7.0  # nonzero tie across a window
@@ -399,6 +399,52 @@ def test_max_pool_strided_bitwise_matches_6d_form():
         assert bool(jnp.all(y6 == ys))
         ct = jnp.asarray(rng.standard_normal(y6.shape).astype(np.float32), dt)
         assert bool(jnp.all(vjp6(ct)[0] == vjps(ct)[0]))
+
+
+def test_max_pool_paired_bitwise_matches_6d_form():
+    """The paired-lane 2x2 pool (layers._max_pool2_paired — W-pairs fused
+    into the lane axis so no (2, C)-minor intermediates exist; see the
+    POOL_PAIRED block comment) must be BIT-identical to the reshape-to-6D
+    form in fwd and bwd, including full-cotangent-to-ties semantics, in
+    f32 and bf16, at odd channel counts too."""
+    rng = np.random.default_rng(25)
+    x = rng.standard_normal((3, 8, 12, 5)).astype(np.float32)
+    x[0, 0, 0, 0] = x[0, 1, 1, 0] = 7.0  # nonzero tie across a window
+    x[1, 2:4, 2:4, 1] = 0.5  # fully tied window
+    for dt in (jnp.float32, jnp.bfloat16):
+        xj = jnp.asarray(x, dt)
+        y6, vjp6 = jax.vjp(lambda a: L._max_pool_nonoverlap(a, 2), xj)
+        yp, vjpp = jax.vjp(lambda a: L._max_pool2_paired(a, 2), xj)
+        assert bool(jnp.all(y6 == yp))
+        ct = jnp.asarray(rng.standard_normal(y6.shape).astype(np.float32), dt)
+        assert bool(jnp.all(vjp6(ct)[0] == vjpp(ct)[0]))
+
+
+def test_relu_max_pool_paired_matches_composed():
+    """relu_max_pool under POOL_PAIRED must equal max_pool(relu(x)) in fwd
+    and the windowed-select gradient in bwd (same contract the Pallas path
+    is tested against), incl. all-negative windows (y == 0 keeps nothing)."""
+    rng = np.random.default_rng(27)
+    x = rng.standard_normal((2, 8, 12, 6)).astype(np.float32)
+    x[0, 0:2, 0:2, 0] = -1.0  # all-negative window -> y = 0, zero grad
+    x[1, 4, 4, 1] = x[1, 4, 5, 1] = 3.0  # positive tie
+    old = L.POOL_PAIRED
+    L.POOL_PAIRED = True
+    try:
+        for dt in (jnp.float32, jnp.bfloat16):
+            xj = jnp.asarray(x, dt)
+            y, vjp = jax.vjp(lambda a: L.relu_max_pool(a, 2), xj)
+            want_y = L._max_pool_nonoverlap(jax.nn.relu(xj), 2)
+            assert bool(jnp.all(y == want_y))
+            ct = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32), dt)
+            x6 = xj.reshape(2, 4, 2, 6, 2, 6)
+            keep = (x6 > 0) & (x6 == y[:, :, None, :, None, :])
+            want_g = jnp.where(
+                keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+            ).reshape(xj.shape)
+            assert bool(jnp.all(vjp(ct)[0] == want_g))
+    finally:
+        L.POOL_PAIRED = old
 
 
 def test_pallas_relu_pool_fwd_and_multiblock_bwd_match_jnp():

@@ -100,6 +100,35 @@ def test_model_sharded_forces_classic_stats_taps(monkeypatch, vgg_params, imgs):
     assert any(seen)
 
 
+def test_model_sharded_forces_composed_relu_pool(monkeypatch, vgg_params, imgs):
+    """FUSE_RELU_POOL=True under model_sharded must resolve to the composed
+    relu + max_pool path: relu_max_pool's Pallas dispatch
+    (layers._relu_max_pool_fwd) has no SPMD rule either, so VGG19.apply
+    must be built with fuse_relu_pool=False (round-4 ADVICE item 2)."""
+    from iris_style_transfer_tpu.models import layers as L
+
+    seen = []
+    real_apply = VGG19.apply
+
+    def spy(params, x, **kw):
+        seen.append(kw.get("fuse_relu_pool", None))
+        return real_apply(params, x, **kw)
+
+    monkeypatch.setattr(VGG19, "apply", staticmethod(spy))
+    monkeypatch.setattr(L, "FUSE_RELU_POOL", True)
+    c, s = imgs
+    fn = nst.make_nst_fn(epochs=2, model_sharded=True)
+    res = jax.jit(fn)(vgg_params, c, s)
+    assert np.isfinite(np.asarray(res.s_loss_hist)).all()
+    assert seen and all(v is False for v in seen)
+
+    # control: unsharded defers to the module flag (None)
+    seen.clear()
+    fn = nst.make_nst_fn(epochs=2, model_sharded=False)
+    jax.jit(fn)(vgg_params, c, s)
+    assert seen and all(v is None for v in seen)
+
+
 def test_cached_program_keys_on_model_sharded():
     a = nst.cached_nst_program(2, 1.0, 1.0, "float32", model_sharded=False)
     b = nst.cached_nst_program(2, 1.0, 1.0, "float32", model_sharded=True)

@@ -172,10 +172,34 @@ def main() -> None:
     # band order: optimistic_for_ref = everything breaks the reference's
     # way (fast GPU util, fast EPYC host, low overheads); pessimistic the
     # reverse.  Ratios derived from these bands bracket the truth.
+    #
+    # Round-5 band revision (VERDICT weak #2: "the A100 band is wide
+    # enough to flip the verdict ... nothing validates the host factor"):
+    #  * util floor 0.30 -> 0.40.  The per-closure serialization that
+    #    makes real-world util land low (the 38 MB ``x.detach().cpu()``
+    #    + 2x ``.item()`` queue drains every closure, pipelines.py:93-95)
+    #    is priced SEPARATELY by the sync and PCIe terms here, so util is
+    #    the PURE device efficiency of cudnn TF32 VGG convs at bs64/224px
+    #    — VGG is cudnn's birth workload, and this framework's own XLA
+    #    closure achieves 52% of v5e peak on the same mix (probe9 bs64:
+    #    ~102 of 197 TFLOP/s); pricing cudnn below 0.40 on its
+    #    best-case shapes double-counts the serialization.
+    #  * the host knob is kept at [0.4, 1.0] UNVALIDATED — and shown not
+    #    to matter: ``host_term_totals`` below prices everything it
+    #    multiplies (CLAHE transforms + sklearn blocks) at ~0.5 min of a
+    #    ~14 min sweep, so even a 128-core EPYC running them at zero cost
+    #    cannot flip the verdict.  The multi-thread scaling curve the
+    #    round-4 VERDICT asked for is unmeasurable on this 1-core box;
+    #    this accounting replaces it.
+    #  * PNG decode is excluded on BOTH sides of the ratio: the reference
+    #    decodes in load_data_openeds2019 (PIL, before the timed sweep;
+    #    its DataLoader(num_workers=16) hides decode only in the 2020
+    #    gaze loaders), and the v5e pipeline number times synthetic
+    #    in-RAM frames.
     bands = {
         "optimistic_for_ref": dict(util=0.60, host=0.4, eager=0.5, sync=0.010),
-        "central": dict(util=0.45, host=0.7, eager=1.0, sync=0.015),
-        "pessimistic_for_ref": dict(util=0.30, host=1.0, eager=2.0, sync=0.022),
+        "central": dict(util=0.50, host=0.7, eager=1.0, sync=0.015),
+        "pessimistic_for_ref": dict(util=0.40, host=1.0, eager=2.0, sync=0.022),
     }
 
     flops_closure = closure_flops(BS, 224)
@@ -191,8 +215,7 @@ def main() -> None:
     # PCIe round trip of one 400x640 f32 frame each way + launch gaps
     frame_bytes = 400 * 640 * 4
 
-    results = {}
-    for name, b in bands.items():
+    def band_eval(b: dict) -> dict:
         conv = lambda f: f / (b["util"] * A100_PEAK_TF32)
         # one per-image RITnet call = host CLAHE + 2x PCIe + b1 forward
         # (+ its own activation traffic, ~40 tensors x 32ch x 400x640 f32)
@@ -226,7 +249,7 @@ def main() -> None:
         )
         t_loop = N_BATCHES * t_batch
         total_min = (t_build + t_loop) / 60.0
-        results[name] = {
+        return {
             "ritnet_call_ms": round(t_rit_call * 1e3, 2),
             "build_min": round(t_build / 60.0, 2),
             "closure_ms": round(t_closure * 1e3, 2),
@@ -235,11 +258,52 @@ def main() -> None:
             "total_min": round(total_min, 2),
             "images_per_min": round(N_IMAGES / total_min, 1),
         }
+
+    results = {name: band_eval(b) for name, b in bands.items()}
     out["a100_full_sweep"] = {
         "n_images": N_IMAGES,
         "bs": BS,
         "n_closures": N_CLOSURES,
         "band": results,
+    }
+
+    # ---- sensitivity: which knob owns the band spread (round-4 VERDICT
+    # weak #2).  One-at-a-time: move each knob alone from its central
+    # value to each edge and record the total_min swing. ----
+    central = bands["central"]
+    total_central = results["central"]["total_min"]
+    sens = {}
+    for knob in ("util", "host", "eager", "sync"):
+        row = {}
+        for edge in ("optimistic_for_ref", "pessimistic_for_ref"):
+            bb = dict(central)
+            bb[knob] = bands[edge][knob]
+            row[edge] = round(band_eval(bb)["total_min"] - total_central, 2)
+        sens[knob] = row
+    out["sensitivity_total_min_delta"] = sens
+    spread = (results["pessimistic_for_ref"]["total_min"]
+              - results["optimistic_for_ref"]["total_min"])
+    owner = max(
+        sens, key=lambda k: abs(sens[k]["pessimistic_for_ref"])
+        + abs(sens[k]["optimistic_for_ref"])
+    )
+    out["band_spread_min"] = round(spread, 2)
+    out["band_spread_owner"] = owner
+
+    # ---- everything the UNVALIDATED host knob multiplies, at host=1.0
+    # (this box's single core): the hard ceiling on what a 128-core EPYC
+    # running these terms at ZERO cost could change ----
+    n_transform_calls = N_IMAGES * 2 + N_BATCHES * BS  # build + re-seg loop
+    host_total_s = n_transform_calls * t_transform + N_BATCHES * t_sklearn8
+    out["host_term_totals"] = {
+        "clahe_transform_calls": n_transform_calls,
+        "clahe_total_s_at_host1": round(n_transform_calls * t_transform, 1),
+        "sklearn_total_s_at_host1": round(N_BATCHES * t_sklearn8, 1),
+        "host_knob_ceiling_min": round(host_total_s / 60.0, 2),
+        "note": (
+            "the host factor multiplies only these terms; even at zero "
+            "cost it moves the sweep by at most host_knob_ceiling_min"
+        ),
     }
 
     if args.v5e_full_ipm:

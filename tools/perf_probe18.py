@@ -95,6 +95,17 @@ def main():
           f"for {args.n} images = {args.n / t_build_first:.1f} img/s", flush=True)
     print(f"build (steady state): {t_build:.2f} s for {args.n} images "
           f"= {args.n / t_build:.1f} img/s", flush=True)
+    # host-only share: the build is fully async (no sync until .ious), so
+    # its dispatch-only wall time IS the single-host cost of feeding the
+    # build — the term that does NOT divide by 8 in the v5e-8 projection
+    # (BASELINE.md feed-budget paragraph).  jax.block_until_ready drains
+    # the queue first so the next measurement starts clean.
+    t0 = time.perf_counter()
+    dataset_async = build_ist_dataset(xs, ys, ms, ritnet_params, cfg.glint_threshold)
+    t_build_host = time.perf_counter() - t0
+    print(f"build (host dispatch only, no sync): {t_build_host:.2f} s "
+          f"= {t_build_host / args.n * 1e3:.1f} ms/img host-side", flush=True)
+    _ = dataset_async.ious  # drain before the loop
 
     # stage 2: the batch loop at the reference config
     save_dir = "/tmp/probe18/"
