@@ -358,7 +358,14 @@ _max_pool2_strided.defvjp(_max_pool2_strided_fwd, _max_pool2_strided_bwd)
 # broadcasts y/ct into both lane halves (concat) and both H-slabs —
 # again no (2, C)-minor intermediates.  Numerics are bit-identical to
 # the 6-D form incl. tie-to-all semantics (max is exactly associative).
-# Default OFF until measured on-chip (tools/probe.py nst).
+# MEASURED AND REJECTED on-chip (2026-08-20, tools/probe.py nst,
+# interleaved min-of-3): 16.57 vs 22.38 steps/s at (64, 224, 224, 3)
+# (0.740x) and 37.78 vs 45.79 at (4, 512, 512, 3) (0.825x), s_loss
+# identical — XLA lowers the (B, H/2, 2, W/2, 2C) regroup no better
+# than the 6-D form; the relayout to/from the paired view costs more
+# than the lane-occupancy win.  Eighth and last pure-XLA reformulation
+# of the block-1 boundary; stays flag-gated OFF as the documented dead
+# end (bit-exactness: tests/test_layers.py::test_max_pool_paired_*).
 POOL_PAIRED = False
 
 
