@@ -465,9 +465,76 @@ def relu_max_pool(x: jax.Array, window: int = 2) -> jax.Array:
     return jnp.max(jax.nn.relu(xr), axis=(2, 4))
 
 
-def _relu_max_pool_fwd(x, window):
-    from ..ops import pallas_pool
+# Round-5 Pallas relu+pool formulations (ops/pallas_pool_paired.py).
+#
+# POOL_PAIRED_PALLAS — the paired-bitcast view ((B,H,W,C)->(B,H,W/2,2C)).
+# MEASURED AND REJECTED on-chip (2026-08-20, tools/probe.py nst): 20.94
+# vs 22.35 steps/s at bs64 (0.937x), 44.87 vs 45.85 at 512px (0.978x).
+# The probe9 trace shows the kernels beat XLA's forms ~6x but XLA's
+# preferred block-1 layout is {2,3,1,0} (W in lanes), so the custom-call
+# boundary costs ~7 ms of copies + a de-fused relu1_1 backward.
+POOL_PAIRED_PALLAS = False
 
+# POOL_XPOSED_PALLAS — the transposed-domain kernels: operands logically
+# (B, H, C, W), W-pair work behind Mosaic's minor-dims transpose unit.
+# MEASURED AND REJECTED (2026-08-20): 20.91 vs 22.37 steps/s at bs64
+# (0.935x), 45.35 vs 45.79 at 512px (0.990x) — built on the wrong layout
+# guess: the optimized HLO shows XLA keeps bf16 block-1 activations in
+# {3,0,2,1} ([H][W][B][C]), not {2,3,1,0}, so these operands still copy.
+POOL_XPOSED_PALLAS = False
+
+# POOL_LANE_PALLAS — the lane-paired-view kernels: operands viewed
+# (H, W/2, 2*B*C), a compile-verified BITCAST of the {3,0,2,1} layout
+# (zero copies in the lowered HLO), every op lane-aligned.  Dispatched
+# from relu_max_pool; reached from the VGG forward via the
+# paired-eligibility fuse gate in vgg.py.  Default OFF until measured
+# (tools/probe.py nst --variant lk:POOL_LANE_PALLAS=True).
+POOL_LANE_PALLAS = False
+
+# POOL_4D_PALLAS — 4-D (H, W, B, C) operands (the shape XLA already
+# rewrites the block-1 conv to produce), both pool axes leading dims,
+# (B, C) minors untouched; no reshape so no tiling change at the
+# boundary.  MEASURED AND ACCEPTED (2026-08-20, tools/probe.py nst,
+# interleaved min-of-3): **24.01 vs 22.38 steps/s at (64,224,224,64) =
+# 1.073x**, s_loss identical — the first formulation of the block-1
+# boundary to beat XLA's own lowering after eleven rejections across
+# rounds 3-5.  At the 512px bs4 bench config ``supported_4d`` is False
+# (B % 8 != 0) so the composed path is unchanged there.  Default ON.
+POOL_4D_PALLAS = True
+
+
+def _relu_max_pool_fwd(x, window):
+    from ..ops import pallas_pool, pallas_pool_paired
+
+    isz = jnp.dtype(x.dtype).itemsize
+    if (
+        window == 2
+        and POOL_4D_PALLAS
+        and pallas_pool_paired.supported_4d(x.shape, window, isz)
+    ):
+        y = pallas_pool_paired.relu_pool_fwd_4d(x)
+        return y, (x, y)
+    if (
+        window == 2
+        and POOL_LANE_PALLAS
+        and pallas_pool_paired.supported_l(x.shape, window, isz)
+    ):
+        y = pallas_pool_paired.relu_pool_fwd_l(x)
+        return y, (x, y)
+    if (
+        window == 2
+        and POOL_XPOSED_PALLAS
+        and pallas_pool_paired.supported_t(x.shape, window, isz)
+    ):
+        y = pallas_pool_paired.relu_pool_fwd_t(x)
+        return y, (x, y)
+    if (
+        window == 2
+        and POOL_PAIRED_PALLAS
+        and pallas_pool_paired.supported(x.shape, window, isz)
+    ):
+        y = pallas_pool_paired.relu_pool_fwd(x)
+        return y, (x, y)
     if window == 2 and POOL_PAIRED:
         # paired-lane form: W-pairs fused into lanes, relu folded into the
         # H-pair max (see the POOL_PAIRED block comment above)
@@ -488,8 +555,33 @@ def _relu_max_pool_fwd(x, window):
 
 def _relu_max_pool_bwd(window, res, ct):
     x, y = res
-    from ..ops import pallas_pool
+    from ..ops import pallas_pool, pallas_pool_paired
 
+    isz = jnp.dtype(x.dtype).itemsize
+    if (
+        window == 2
+        and POOL_4D_PALLAS
+        and pallas_pool_paired.supported_4d(x.shape, window, isz)
+    ):
+        return (pallas_pool_paired.relu_pool_bwd_4d(x, y, ct.astype(x.dtype)),)
+    if (
+        window == 2
+        and POOL_LANE_PALLAS
+        and pallas_pool_paired.supported_l(x.shape, window, isz)
+    ):
+        return (pallas_pool_paired.relu_pool_bwd_l(x, y, ct.astype(x.dtype)),)
+    if (
+        window == 2
+        and POOL_XPOSED_PALLAS
+        and pallas_pool_paired.supported_t(x.shape, window, isz)
+    ):
+        return (pallas_pool_paired.relu_pool_bwd_t(x, y, ct.astype(x.dtype)),)
+    if (
+        window == 2
+        and POOL_PAIRED_PALLAS
+        and pallas_pool_paired.supported(x.shape, window, isz)
+    ):
+        return (pallas_pool_paired.relu_pool_bwd(x, y, ct.astype(x.dtype)),)
     if window == 2 and POOL_PAIRED:
         b, p2, q2, c = x.shape
         xp = x.reshape(b, p2 // 2, 2, q2 // 2, 2 * c)

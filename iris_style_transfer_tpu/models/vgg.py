@@ -25,6 +25,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from ..ops import pallas_pool_paired
 from ..ops.image import imagenet_normalize
 from ..ops.losses import stats_from_sums
 from . import layers as L
@@ -264,7 +265,38 @@ class VGG19:
                         taps[bname] = h
                     idx += 1
                 nxt = _CFG[ci + 1] if ci + 1 < len(_CFG) else None
-                fuse = L.FUSE_RELU_POOL if fuse_relu_pool is None else fuse_relu_pool
+                if fuse_relu_pool is None:
+                    # module flags: FUSE_RELU_POOL fuses every eligible
+                    # pool (rejected, default off); POOL_PAIRED_PALLAS
+                    # fuses exactly the pools the paired-bitcast kernel
+                    # supports (block 1's C=64 — the only lane-starved
+                    # one).  An explicit False (the model-sharded NST
+                    # path) disables both: the Pallas dispatch has no
+                    # SPMD rule.
+                    isz = jnp.dtype(h.dtype).itemsize
+                    fuse = L.FUSE_RELU_POOL or (
+                        nxt == "M"
+                        and (
+                            (
+                                L.POOL_4D_PALLAS
+                                and pallas_pool_paired.supported_4d(h.shape, 2, isz)
+                            )
+                            or (
+                                L.POOL_LANE_PALLAS
+                                and pallas_pool_paired.supported_l(h.shape, 2, isz)
+                            )
+                            or (
+                                L.POOL_XPOSED_PALLAS
+                                and pallas_pool_paired.supported_t(h.shape, 2, isz)
+                            )
+                            or (
+                                L.POOL_PAIRED_PALLAS
+                                and pallas_pool_paired.supported(h.shape, 2, isz)
+                            )
+                        )
+                    )
+                else:
+                    fuse = fuse_relu_pool
                 if (
                     fuse
                     and nxt == "M"

@@ -121,21 +121,52 @@ def _save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def _host_prefetch(*arrs) -> None:
+    """Start D2H copies for device arrays WITHOUT blocking, right after
+    their producing program is dispatched: the transfer rides behind the
+    next device work (the ~9 s NST scan) and the metric worker's later
+    ``np.asarray`` finds the host buffer already filled instead of paying
+    the ~150 ms-per-fetch tunnel latency at drain time
+    (tools/perf_probe22.py).  No-op for values without async host copies."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+
+
+def _cpu_metrics(labels, logits, num_class: int, **kw) -> dict[str, float]:
+    """``classification_metrics`` executed on the IN-PROCESS CPU backend,
+    returned as plain floats.  The jitted TPU metrics program exists for
+    mesh-sharded epoch logits (classifier training); here the inputs are
+    already host numpy and a (64, 152) metric block is sub-millisecond on
+    CPU — routing it through the accelerator would pay an H2D upload, a
+    dispatch and a D2H fetch per call (8 calls/batch), which is what made
+    the round-5 drain measurement 5.6 s of a 27 s loop."""
+    with jax.default_device(_CPU_DEVICE):
+        m = classification_metrics(
+            np.asarray(labels), np.asarray(logits), num_class, **kw
+        )
+        return {k: float(v) for k, v in m.items()}
+
+
+_CPU_DEVICE = jax.devices("cpu")[0]
+
+
 def _batch_metric_job(metric_prefix, num_class, phase, yy, ys, valid, p1, p2):
     """Per-batch classification metrics for one phase (pre/post), on the
     single metric worker thread, OVERLAPPED with the next batch's device
-    work.  The job takes the DEVICE logits and does the D2H fetch itself:
-    each tunnel fetch costs ~150 ms of latency (tools/perf_probe22.py) and
-    the 8-call sklearn-parity block ~200 ms (tools/perf_probe19.py) — all
-    of it hidden behind the ~9 s NST scan instead of serializing the
-    dispatch path.  Returns (log-dict, agg-dict) for the ordered drain."""
+    work.  The logits' D2H was started at submit time (``_host_prefetch``)
+    so the ``np.asarray`` here is a local copy, and the metric math runs
+    on the in-process CPU backend (``_cpu_metrics``).  Returns
+    (log-dict, agg-dict) for the ordered drain."""
     p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
     out = {}
     for nm, pred, lab in (("c1", p1v, yy), ("c2", p2v, yy)):
-        m = classification_metrics(lab, pred, num_class, auc_present_only=True)
+        m = _cpu_metrics(lab, pred, num_class, auc_present_only=True)
         out.update({f"{metric_prefix}{phase}/{nm}/batch/{k}": v for k, v in m.items()})
     for nm, pred in (("c1", p1v), ("c2", p2v)):
-        m = classification_metrics(ys, pred, num_class, auc_present_only=True)
+        m = _cpu_metrics(ys, pred, num_class, auc_present_only=True)
         out.update(
             {f"{metric_prefix}{phase}/{nm}/mis/batch/{k}": v for k, v in m.items()}
         )
@@ -143,9 +174,11 @@ def _batch_metric_job(metric_prefix, num_class, phase, yy, ys, valid, p1, p2):
 
 
 def _loss_job(metric_prefix, c_hist, s_hist, c_w, s_w):
-    """Fetch the final closure losses (2 device scalars) off the critical
-    path and emit the reference's batch loss keys."""
-    c_loss, s_loss = float(c_hist[-1]), float(s_hist[-1])
+    """Fetch the final closure losses off the critical path and emit the
+    reference's batch loss keys.  The whole (E,) histories transfer as two
+    prefetched arrays (same tunnel latency as two scalars, no extra
+    device indexing program)."""
+    c_loss, s_loss = float(np.asarray(c_hist)[-1]), float(np.asarray(s_hist)[-1])
     log = {
         f"{metric_prefix}/batch/c_loss": c_loss,
         f"{metric_prefix}/batch/s_loss": s_loss,
@@ -250,6 +283,7 @@ def iris_style_transfer_openeds2019(
         # latency rides behind device work instead of serializing it
         yy = np.asarray(c_labels)[valid]
         ys = np.asarray(s_labels)[valid]
+        _host_prefetch(p1, p2)
         futs = [metric_pool.submit(
             _batch_metric_job, metric_prefix, num_class, "pre", yy, ys, valid, p1, p2
         )]
@@ -268,6 +302,7 @@ def iris_style_transfer_openeds2019(
         with timer:
             result = nst_fn(vgg_params, irises, s_rgb)
             result.x.block_until_ready()
+        _host_prefetch(result.c_loss_hist, result.s_loss_hist)
         futs.append(metric_pool.submit(
             _loss_job, metric_prefix, result.c_loss_hist, result.s_loss_hist,
             c_loss_weight, s_loss_weight,
@@ -277,6 +312,7 @@ def iris_style_transfer_openeds2019(
             vgg_params, c1_params, c2_params, c_imgs_j, result.x, masks_j, bboxes_j
         )
         seg_parts = post_seg(ritnet_params, new_frames, stage(seg_gt))
+        _host_prefetch(p1, p2, *seg_parts)
         futs.append(metric_pool.submit(
             _batch_metric_job, metric_prefix, num_class, "post", yy, ys, valid, p1, p2
         ))
@@ -322,10 +358,12 @@ def iris_style_transfer_openeds2019(
     ys = np.concatenate(agg["s_labels"])
     for phase in ("pre", "post"):
         for nm in ("1", "2"):
+            # epoch inputs are host numpy: CPU metrics avoid 8 tunnel
+            # round trips (H2D + dispatch + per-scalar D2H) at epoch end
             pred = np.concatenate(agg[f"{phase}{nm}"])
-            m = classification_metrics(yy, pred, num_class)
+            m = _cpu_metrics(yy, pred, num_class)
             log.update({f"{metric_prefix}{phase}/c{nm}/{k}": v for k, v in m.items()})
-            m = classification_metrics(ys, pred, num_class)
+            m = _cpu_metrics(ys, pred, num_class)
             log.update({f"{metric_prefix}{phase}/c{nm}/mis/{k}": v for k, v in m.items()})
     log[f"{metric_prefix}nst_batches_per_sec"] = timer.per_sec()
     log[f"{metric_prefix}stylized_images_per_min"] = timer.per_sec(cfg.bs) * 60

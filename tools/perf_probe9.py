@@ -115,13 +115,25 @@ def main():
     ap.add_argument("--size", type=int, default=512,
                     help="square image size; --batch 64 --size 224 traces "
                          "the production IST config instead of the bench one")
+    ap.add_argument("--flag", action="append", default=[],
+                    help="layers-module flag override NAME=V (python "
+                         "literal), e.g. --flag POOL_PAIRED_PALLAS=True — "
+                         "same spec as tools/probe.py variants")
     args = ap.parse_args()
+
+    import ast
 
     import jax
     import jax.numpy as jnp
 
     from iris_style_transfer_tpu.models import VGG19
+    from iris_style_transfer_tpu.models import layers as L
     from iris_style_transfer_tpu.transfer.nst import make_nst_fn
+
+    for spec in args.flag:
+        k, v = spec.split("=", 1)
+        assert hasattr(L, k), f"unknown layers flag {k}"
+        setattr(L, k, ast.literal_eval(v))
 
     key = jax.random.PRNGKey(0)
     params = VGG19.init(key)
