@@ -70,13 +70,29 @@ def test_replicate_rotation_tiny(tmp_path, monkeypatch):
 
 
 def test_train_ritnet_tiny():
+    """Feed train_ritnet the UINT8 frames the tool's main actually
+    passes (synthetic_openeds2019 keeps load_data_openeds2019's uint8
+    image contract since round 3) — the float-frame variant masked the
+    round-5 regression where 0-255 inputs hit the [0,1]-domain
+    gamma/CLAHE transform and silently collapsed RITnet training."""
     from iris_style_transfer_tpu.data.synthetic import synthetic_eye_batch
 
     tool = _load_tool()
     imgs, segs, _ = synthetic_eye_batch(8, height=48, width=64, seed=3)
+    imgs_u8 = np.round(np.clip(imgs, 0.0, 1.0) * 255.0).astype(np.uint8)
     params, miou = tool.train_ritnet(
-        list(imgs), list(segs), epochs=1, bs=4, lr=1e-3
+        list(imgs_u8), list(segs), epochs=1, bs=4, lr=1e-3
     )
     assert 0.0 <= miou <= 1.0
     flat = [np.asarray(x) for x in __import__("jax").tree.leaves(params)]
     assert all(np.isfinite(a).all() for a in flat)
+
+    # the dequantized path must match training on the float frames: same
+    # preprocessed input domain regardless of the staging dtype
+    import jax.numpy as jnp
+
+    from iris_style_transfer_tpu.models import RITnet
+
+    t_u8 = np.asarray(RITnet.transform(jnp.asarray(imgs_u8[:2], jnp.float32) / 255.0))
+    t_f = np.asarray(RITnet.transform(jnp.asarray(imgs[:2])))
+    assert abs(t_u8.mean() - t_f.mean()) < 0.05 and t_u8.min() >= -1.0 - 1e-6

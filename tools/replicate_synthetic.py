@@ -53,7 +53,14 @@ def train_ritnet(train_x, train_m, *, epochs, bs=4, lr=1e-3, seed=7):
     from iris_style_transfer_tpu.models import RITnet
     from iris_style_transfer_tpu.ops.metrics import iou_per_class
 
+    # the twin keeps load_data_openeds2019's uint8 image contract since
+    # round 3 ("uint8 decode end-to-end"); the workload mains dequantize
+    # at staging, and this local trainer must too — feeding 0-255 values
+    # into the [0,1]-domain gamma/CLAHE transform silently collapses
+    # RITnet training (caught by the round-5 re-run of this replication)
     xs = np.stack(train_x)
+    if xs.dtype == np.uint8:
+        xs = xs.astype(np.float32) / 255.0
     ys = np.stack(train_m).astype(np.int32)
     n = len(xs)
 
